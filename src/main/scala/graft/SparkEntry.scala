@@ -1,13 +1,137 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY.md §2 (or §2.2 /
+  * the training-data-pipeline set), expressed as a declarative Spark plan
+  * over the driver's read-only parquet tables; [[oracleSql]] carries the
+  * equivalent DuckDB SQL for the correctness gate. Column names and types
+  * match pairwise (the driver hash-compares by sorted column name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the znap snapshot — latest state per key (SURVEY.md §2 row A1).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    SnapshotQueries.a1SnapshotLatest(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // znap core operators (SURVEY.md §2.1)
+    "a1_snapshot_latest" -> (SnapshotQueries.a1SnapshotLatest _),
+    "a1_snapshot_fold" -> (SnapshotQueries.a1SnapshotFold _),
+    "f1_filter" -> (SnapshotQueries.f1Filter _),
+    "p1_key_extract" -> (SnapshotQueries.p1KeyExtract _),
+    "q1_point_lookup" -> (SnapshotQueries.q1PointLookup _),
+    "d1_dump_keys" -> (SnapshotQueries.d1DumpKeys _),
+    "replay_to_ts" -> (SnapshotQueries.replayToTs _),
+    "g1_fanout" -> (SnapshotQueries.g1Fanout _),
+    "g2_signals" -> (SnapshotQueries.g2Signals _),
+    "a2_encode" -> (RelationalQueries.a2Encode _),
+    // event-time windows (north rule; SURVEY.md §2.2 streaming rows)
+    "w1_tumbling" -> (WindowQueries.w1Tumbling _),
+    "w2_sliding" -> (WindowQueries.w2Sliding _),
+    "w3_session" -> (WindowQueries.w3Session _),
+    "w4_tool_usage" -> (WindowQueries.w4ToolUsage _),
+    // relational surface (SURVEY.md §2.2)
+    "j1_join_broadcast" -> (RelationalQueries.j1JoinBroadcast _),
+    "j2_join_shuffle" -> (RelationalQueries.j2JoinShuffle _),
+    "q1_agg" -> (RelationalQueries.q1Agg _),
+    "topk_hot_keys" -> (RelationalQueries.topkHotKeys _),
+    "set_except" -> (RelationalQueries.setExcept _),
+    "scalar_fns" -> (RelationalQueries.scalarFns _),
+    // training-data pipeline: text analysis + dedup
+    "dedup_exact" -> (TextQueries.dedupExact _),
+    "text_quality" -> (TextQueries.textQuality _),
+    "lang_id" -> (TextQueries.langId _),
+    "fingerprint" -> (TextQueries.fingerprint _),
+    "ngram_jaccard" -> (TextQueries.ngramJaccard _),
+    "dedup_minhash" -> ((s, d) => graft.dedup.Dedup.minhashCandidates(
+      Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))),
+    "dedup_simhash" -> ((s, d) => graft.dedup.Dedup.simhash(
+      Tables.documents(s, d), "doc_id", "text")),
+    // similarity search
+    "ann_bruteforce" -> ((s, d) => graft.ann.Ann.bruteForceTopK(
+      Tables.embeddings(s, d), queryId = 0L, k = 10)),
+    "ann_lsh" -> ((s, d) => graft.ann.Ann.lshTopK(
+      Tables.embeddings(s, d), queryId = 0L, k = 10, dim = embDim(s, d), nPlanes = 4)),
+    "emb_neardup" -> ((s, d) => graft.ann.Ann.nearDupPairs(
+      Tables.embeddings(s, d), maxId = 300L, minCos = 0.4)),
+    // multimodal plumbing (stubbed codec, real schema/partitioning)
+    "mm_decode" -> ((s, d) => graft.multimodal.Multimodal.decodeDocuments(s, d)
+      .select(col("doc_id"), col("media_type"),
+      col("n_bytes").cast("long").as("n_bytes"), col("feat0").cast("long").as("feat0"))))
+
+  /** Embedding dimensionality, probed from one row (metadata-scale read). */
+  private def embDim(s: SparkSession, d: String): Int =
+    Tables.embeddings(s, d).select(size(col("embedding"))).head().getInt(0)
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_snapshot_latest" -> SnapshotQueries.a1SnapshotLatestSql,
+    "a1_snapshot_fold" -> SnapshotQueries.a1SnapshotFoldSql,
+    "f1_filter" -> SnapshotQueries.f1FilterSql,
+    "p1_key_extract" -> SnapshotQueries.p1KeyExtractSql,
+    "q1_point_lookup" -> SnapshotQueries.q1PointLookupSql,
+    "d1_dump_keys" -> SnapshotQueries.d1DumpKeysSql,
+    "replay_to_ts" -> SnapshotQueries.replayToTsSql,
+    "g1_fanout" -> SnapshotQueries.g1FanoutSql,
+    "g2_signals" -> SnapshotQueries.g2SignalsSql,
+    "a2_encode" -> RelationalQueries.a2EncodeSql,
+    "w1_tumbling" -> WindowQueries.w1TumblingSql,
+    "w2_sliding" -> WindowQueries.w2SlidingSql,
+    "w3_session" -> WindowQueries.w3SessionSql,
+    "w4_tool_usage" -> WindowQueries.w4ToolUsageSql,
+    "j1_join_broadcast" -> RelationalQueries.j1JoinBroadcastSql,
+    "j2_join_shuffle" -> RelationalQueries.j2JoinShuffleSql,
+    "q1_agg" -> RelationalQueries.q1AggSql,
+    "topk_hot_keys" -> RelationalQueries.topkHotKeysSql,
+    "set_except" -> RelationalQueries.setExceptSql,
+    "scalar_fns" -> RelationalQueries.scalarFnsSql,
+    "dedup_exact" -> TextQueries.dedupExactSql,
+    "text_quality" -> TextQueries.textQualitySql,
+    "lang_id" -> TextQueries.langIdSql,
+    "fingerprint" -> TextQueries.fingerprintSql,
+    "ngram_jaccard" -> TextQueries.ngramJaccardSql,
+    "ann_bruteforce" -> annBruteforceSql,
+    "emb_neardup" -> embNearDupSql,
+    "mm_decode" -> mmDecodeSql)
+    // rows-only (no SQL-expressible oracle): dedup_minhash, dedup_simhash, ann_lsh
+
+  private val annBruteforceSql: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id = 0),
+       scored AS (
+         SELECT vec_id,
+           list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(qe, qe))) AS cos
+         FROM embeddings, q WHERE vec_id <> 0)
+       SELECT vec_id, rk, cos FROM (
+         SELECT vec_id, cos,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rk
+         FROM scored)
+       WHERE rk <= 10"""
+
+  private val embNearDupSql: String =
+    """WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+         FROM embeddings WHERE vec_id < 300)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.4"""
+
+  private val mmDecodeSql: String =
+    """SELECT doc_id, 'text/plain' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN length(text) = 0 THEN -1
+            ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS feat0
+       FROM documents"""
 }

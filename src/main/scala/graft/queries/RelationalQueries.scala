@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operators the reference lacks entirely (SURVEY.md §2.2):
+  * joins, multi-column aggregation, top-k, set ops, scalar functions —
+  * all built-ins, planned by Catalyst. Scale notes inline per query.
+  */
+object RelationalQueries {
+
+  /** Broadcast join: orders ⋈ customer. `customer` is the small dimension —
+    * broadcast() pins a BroadcastHashJoin so the 100-TB fact side never
+    * shuffles for the join; aggregation is the only exchange.
+    */
+  def j1JoinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+
+  val j1JoinBroadcastSql: String =
+    """SELECT c_mktsegment, count(*) AS order_count,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment"""
+
+  /** Shuffle join: lineitem ⋈ orders on the fact key. Both sides large at
+    * scale → sort-merge/shuffled-hash on o_orderkey; AQE handles skew.
+    */
+  def j2JoinShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+
+  val j2JoinShuffleSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY o_orderpriority"""
+
+  /** TPC-H Q1-shaped aggregation: multi-measure groupBy with exact decimal
+    * arithmetic; map-side partial agg keeps the shuffle tiny.
+    */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus"""
+
+  /** Top-k hot keys (skew diagnostics, SURVEY.md §2.2 sorts/limits row):
+    * deterministic tie-break by key. At scale: partial agg → tiny shuffled
+    * key-count table → single window over it (cheap; cardinality = #keys).
+    */
+  def topkHotKeys(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_events").desc, col("user_id").asc)).cast("long"))
+      .filter(col("rk") <= 10)
+  }
+
+  val topkHotKeysSql: String =
+    """SELECT user_id, n_events, rk FROM (
+         SELECT user_id, n_events,
+           row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS rk
+         FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id))
+       WHERE rk <= 10"""
+
+  /** Set ops (SURVEY.md §2.2): (user, day) slots with a signup but no error. */
+  def setExcept(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("day_s",
+      unix_seconds(date_trunc("day", col("ts"))))
+    ev.filter(col("event_type") === "signup").select(col("user_id"), col("day_s"))
+      .except(ev.filter(col("event_type") === "error").select(col("user_id"), col("day_s")))
+  }
+
+  val setExceptSql: String =
+    """SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s
+       FROM events WHERE event_type = 'signup'
+       EXCEPT
+       SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s
+       FROM events WHERE event_type = 'error'"""
+
+  /** Scalar function surface (string/date/math/json — SURVEY.md §2.2):
+    * engine-neutral functions only, so the oracle is bit-exact.
+    */
+  def scalarFns(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      upper(col("event_type")).as("up_type"),
+      length(col("event_type")).cast("long").as("ty_len"),
+      concat_ws("#", col("event_type"), col("user_id").cast("string")).as("tag"),
+      unix_seconds(date_trunc("day", col("ts"))).as("ts_day_s"),
+      floor(col("value")).cast("long").as("val_floor"),
+      substring(col("event_type"), 1, 3).as("ty_pfx"))
+
+  val scalarFnsSql: String =
+    """SELECT event_id, upper(event_type) AS up_type,
+       length(event_type) AS ty_len,
+       event_type || '#' || CAST(user_id AS VARCHAR) AS tag,
+       CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ts_day_s,
+       CAST(floor(value) AS BIGINT) AS val_floor,
+       substr(event_type, 1, 3) AS ty_pfx
+       FROM events"""
+
+  /** A2-analog — value encoding at rest (reference gzip+base64:
+    * utils/Compressor.scala:16-42). Parquet codecs handle compression in our
+    * engine; the explicit base64 codec is exposed for dump/signal parity.
+    */
+  def a2Encode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      base64(substring(col("text"), 1, 48).cast("binary")).as("payload_b64"),
+      octet_length(col("text")).cast("long").as("payload_bytes"))
+
+  val a2EncodeSql: String =
+    """SELECT doc_id, to_base64(encode(substr(text, 1, 48))) AS payload_b64,
+       octet_length(encode(text)) AS payload_bytes
+       FROM documents"""
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines over the
+  * `documents` table: exact dedup, quality scoring, token counting,
+  * language-ID heuristic, document fingerprinting. All narrow (no shuffle
+  * except the dedup groupBy) and whole-stage-codegen'd — per-row cost only,
+  * so they scale linearly to 100 TB.
+  */
+object TextQueries {
+
+  private val wordPat = "[a-z0-9]+"
+
+  /** Exact dedup: hash-groupBy on content digest; keeps the smallest doc_id
+    * per duplicate class. One shuffle keyed on the digest.
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+       count(*) AS dup_count
+       FROM documents GROUP BY 1"""
+
+  /** Quality scoring: token count (regex word matches — whitespace-shape
+    * independent), char length, mean token length, stopword ratio.
+    */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(lower(col("text")), lit(wordPat), lit(0))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("\\b(the|a|of|and|is|to|in)\\b"), lit(0))).cast("long").as("stop_hits"))
+      .withColumn("mean_tok_len",
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(col("n_chars_m").cast("double") / col("n_tokens").cast("double")))
+  }
+
+  val textQualitySql: String =
+    """SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+       length(text) AS n_chars_m,
+       len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|to|in)\b')) AS stop_hits,
+       CAST(length(text) AS DOUBLE) /
+         CAST(nullif(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 0) AS DOUBLE)
+         AS mean_tok_len
+       FROM documents"""
+
+  /** Language-ID heuristic: per-language stopword hit counts, argmax with a
+    * deterministic priority order. (n-gram heuristic class; SURVEY task
+    * brief "text analysis".)
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    def hits(pat: String) =
+      size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))).cast("long")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      hits("\\b(the|a|of|and|is)\\b").as("en_hits"),
+      hits("\\b(el|la|de|que|y)\\b").as("es_hits"),
+      hits("\\b(der|die|das|und|ist)\\b").as("de_hits"))
+      .withColumn("predicted_lang",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits"), "en")
+          .when(col("es_hits") >= col("de_hits"), "es")
+          .otherwise("de"))
+  }
+
+  val langIdSql: String =
+    """SELECT doc_id,
+       len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b')) AS en_hits,
+       len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS es_hits,
+       len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS de_hits,
+       CASE
+         WHEN len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b'))
+          AND len(regexp_extract_all(lower(text), '\b(the|a|of|and|is)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b'))
+           THEN 'en'
+         WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b'))
+              >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b'))
+           THEN 'es'
+         ELSE 'de' END AS predicted_lang
+       FROM documents"""
+
+  /** Document fingerprint: digest of whitespace/punctuation-normalized
+    * lowercase text — near-dup-stable canonical form.
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+        .cast("binary")).as("fp"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+       FROM documents"""
+
+  /** Exact n-gram (3-word-shingle) Jaccard similarity for candidate pairs in
+    * a bounded id range. Shingle set built per row (narrow), then a
+    * shingle-keyed self-join — the standard pair-generation shape; at scale
+    * the id bound is replaced by LSH candidate pairs (see dedup_minhash).
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        array_distinct(shingles(lower(col("text")))).as("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("sh"))
+    val pairs = ex.as("a").join(ex.as("b"),
+      col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .filter(col("inter") * 2 >= col("n_a") + col("n_b") - col("inter"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
+  }
+
+  /** 3-word shingles of a tokenized column, as an array column. */
+  private def shingles(textCol: org.apache.spark.sql.Column) = {
+    val w = regexp_extract_all(textCol, lit(wordPat), lit(0))
+    when(size(w) >= 3,
+      transform(sequence(lit(0), size(w) - 3), i =>
+        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH docs AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         FROM documents WHERE doc_id < 300),
+       shl AS (
+         SELECT doc_id,
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2)] AS shs
+         FROM docs WHERE len(w) >= 3),
+       sh AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM shl),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+       FROM pairs
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE inter * 2 >= sa.n_sh + sb.n_sh - inter"""
+}
