@@ -37,7 +37,12 @@ object SparkEntry {
     "w2_sliding" -> (WindowQueries.w2Sliding _),
     "w3_session" -> (WindowQueries.w3Session _),
     "w4_tool_usage" -> (WindowQueries.w4ToolUsage _),
+    // the real streaming pipeline, end-to-end (S1/S4/A1/O1/G2, H1)
+    "s1_stream_snapshot" -> (StreamQueries.s1StreamSnapshot _),
+    "o1_lineage" -> (StreamQueries.o1Lineage _),
+    "h1_lag" -> (StreamQueries.h1Lag _),
     // relational surface (SURVEY.md §2.2)
+    "wf_running_state" -> (RelationalQueries.wfRunningState _),
     "j1_join_broadcast" -> (RelationalQueries.j1JoinBroadcast _),
     "j2_join_shuffle" -> (RelationalQueries.j2JoinShuffle _),
     "q1_agg" -> (RelationalQueries.q1Agg _),
@@ -86,6 +91,8 @@ object SparkEntry {
     "w2_sliding" -> WindowQueries.w2SlidingSql,
     "w3_session" -> WindowQueries.w3SessionSql,
     "w4_tool_usage" -> WindowQueries.w4ToolUsageSql,
+    "s1_stream_snapshot" -> StreamQueries.s1StreamSnapshotSql,
+    "wf_running_state" -> RelationalQueries.wfRunningStateSql,
     "j1_join_broadcast" -> RelationalQueries.j1JoinBroadcastSql,
     "j2_join_shuffle" -> RelationalQueries.j2JoinShuffleSql,
     "q1_agg" -> RelationalQueries.q1AggSql,

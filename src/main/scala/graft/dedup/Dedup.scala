@@ -24,29 +24,40 @@ object Dedup {
         .otherwise(array().cast("array<string>")))
   }
 
-  /** MinHash signature: for hash function h_i, min over shingles of
-    * xxhash64(i-salted shingle). Computed entirely inside codegen
-    * (transform + array_min), no UDF.
+  /** MinHash signatures: shingles are exploded once, then ONE hash-agg per
+    * doc computes all `numHashes` min-of-salted-hash columns — every
+    * expression stays inside whole-stage codegen and the signature is
+    * materialized by the groupBy exchange, never recomputed downstream.
+    * (A nested transform/array_min formulation was 100x slower: Catalyst
+    * inlined the full signature expression into every consumer and
+    * evaluated it interpreted.)
     */
-  def minhashSig(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(shingles, sh => xxhash64(concat(i.cast("string"), sh)))))
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingleArr(col(textCol))).as("sh"))
+    val aggs = (0 until numHashes).map { i =>
+      min(xxhash64(concat(lit(i.toString), col("sh")))).as(s"h$i")
+    }
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
 
   /** Candidate pairs via banded LSH over the MinHash signature.
-    * bandsOf rows per band; docs agreeing on all rows of any band collide.
-    * Returns (doc_a, doc_b, est_jaccard) where est_jaccard = fraction of
-    * matching minhash components.
+    * Docs agreeing on all rows of any band collide. Returns
+    * (doc_a, doc_b, est_jaccard), est_jaccard = fraction of matching
+    * minhash components.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
     val nBands = numHashes / rowsPerBand
-    val sig = docs.select(col(idCol).as("doc_id"),
-      minhashSig(shingleArr(col(textCol)), numHashes).as("sig"))
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes)
     val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+      posexplode(array((0 until nBands).map(b =>
         xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
-            .cast("array<string>")))))
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+            .cast("array<string>")))): _*))
         .as(Seq("band", "bucket")))
     val pairs = banded.as("a").join(banded.as("b"),
       col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -127,6 +127,29 @@ object RelationalQueries {
        substr(event_type, 1, 3) AS ty_pfx
        FROM events"""
 
+  /** Window functions (SURVEY.md §2.2): running state before each event —
+    * the batch oracle of the streaming state-join (StateJoin.enriched):
+    * prev_count/prev_event over the per-key (ts, event_id) order.
+    */
+  def wfRunningState(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      (row_number().over(w).cast("long") - 1).as("prev_count"),
+      coalesce(lag(col("event_id"), 1).over(w), lit(-1L)).as("prev_event_id"),
+      coalesce(lag(col("event_type"), 1).over(w), lit("")).as("prev_event_type"))
+  }
+
+  val wfRunningStateSql: String =
+    """SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+         AS prev_count,
+       coalesce(lag(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1)
+         AS prev_event_id,
+       coalesce(lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), '')
+         AS prev_event_type
+       FROM events"""
+
   /** A2-analog — value encoding at rest (reference gzip+base64:
     * utils/Compressor.scala:16-42). Parquet codecs handle compression in our
     * engine; the explicit base64 codec is exposed for dump/signal parity.

@@ -1,0 +1,89 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.ConvSnapshot
+import graft.store.IcebergLikeTable
+
+/** Exactly-once snapshot sink (SURVEY.md §7.3): `foreachBatch` handler
+  * performing an idempotent keyed MERGE into an [[IcebergLikeTable]],
+  * plus per-partition lineage and change-signal side outputs committed in
+  * the SAME atomic manifest swap.
+  *
+  * Ordering contract vs the reference: znap writes data, then signals,
+  * then offsets (pipeline/PipelineBuilder.scala:106-111) so a crash never
+  * acknowledges unwritten data. Structured Streaming writes the batch's
+  * offset intent before foreachBatch and the commit log after it returns;
+  * our batchId guard makes redelivery of the same batch a no-op, so the
+  * composite is exactly-once end-to-end.
+  */
+object MergeSink {
+
+  /** Lineage: per input-partition stats of the update batch
+    * (znap analogs: offset store DynamoDBOffsetWriter.scala:23-31 +
+    * ProgressChecker gauges :148-158). committed_ts comes from batch data
+    * (max last_ts), never the wall clock — deterministic in tests.
+    */
+  def lineageOf(updates: DataFrame, batchId: Long): DataFrame =
+    updates
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(
+        min(struct(col("conv_id"), col("last_turn_idx"))).as("mn"),
+        max(struct(col("conv_id"), col("last_turn_idx"))).as("mx"),
+        count(lit(1)).as("row_count"),
+        max(col("last_ts")).as("committed_ts"))
+      .select(
+        lit(batchId).as("batch_id"),
+        col("partition_id"),
+        col("mn.conv_id").as("min_conv_id"),
+        col("mn.last_turn_idx").as("min_turn_idx"),
+        col("mx.conv_id").as("max_conv_id"),
+        col("mx.last_turn_idx").as("max_turn_idx"),
+        col("row_count"),
+        col("committed_ts"))
+
+  /** Signals: change notifications for every key touched in the batch
+    * (reference publish types keys / events / events-compressed,
+    * config/SnapshotPipeline.scala:51-56; gzip+base64 payload
+    * utils/Compressor.scala:27-42).
+    */
+  def signalsOf(updates: DataFrame, batchId: Long, publishType: String): DataFrame = {
+    val payload = publishType match {
+      case "keys" => col("conv_id")
+      case "events" => to_json(struct(col("conv_id"), col("last_turn_idx"),
+        col("last_role"), col("last_text")))
+      case "events-compressed" => base64(to_binary(sha2(to_json(struct(
+        col("conv_id"), col("last_turn_idx"), col("last_text"))), 256), lit("hex")))
+      case other => lit(other)
+    }
+    updates.select(
+      lit(batchId).as("batch_id"),
+      col("conv_id"),
+      lit(publishType).as("publish_type"),
+      payload.as("payload"))
+  }
+
+  /** The foreachBatch handler. Usage:
+    * {{{
+    * SnapshotStream.updates(turns).writeStream
+    *   .outputMode("update")
+    *   .option("checkpointLocation", ckpt)
+    *   .foreachBatch(MergeSink(table))
+    *   .start()
+    * }}}
+    */
+  def apply(table: IcebergLikeTable, publishType: String = "keys")(
+      batch: Dataset[ConvSnapshot], batchId: Long): Unit = {
+    val df = batch.toDF()
+    if (!df.isEmpty) {
+      // One pass over the batch: cache while three consumers read it
+      // (merge survivors-join, lineage agg, signals projection).
+      df.persist()
+      try {
+        table.merge(df, "conv_id", batchId,
+          lineageDf = Some(lineageOf(df, batchId)),
+          signalsDf = Some(signalsOf(df, batchId, publishType)))
+      } finally df.unpersist()
+    }
+  }
+}
