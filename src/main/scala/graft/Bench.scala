@@ -1,24 +1,139 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gen.Synthetic
+import graft.model.{Schemas, Turn}
+import graft.replay.Replay
+import graft.snapshot.SnapshotFold
+import graft.store.IcebergLikeTable
+
+/** Benchmark main (driver contract): times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR plus the north-rule headline — snapshot-build and
+  * replay throughput (turns/sec) on a deterministic synthetic transcript
+  * stream — and prints ONE JSON line.
+  *
+  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+  * SPARK_GRAFT_TURNS (synthetic turn count, default 2,000,000).
+  */
 object Bench {
+
+  def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Generate the synthetic turn log once as parquet (not timed into the
+    * fold metrics) and return (dir, exact row count).
+    */
+  def writeTurns(spark: SparkSession, n: Long, files: Int): (String, Long) = {
+    val dir = Files.createTempDirectory("graft-bench-turns").toString + "/turns"
+    val p = Synthetic.paramsForTurns(n).copy(hotConvs = 4, hotSize = 20000)
+    val ds = Synthetic.turns(spark, p, slices = 128)
+    ds.repartitionByRange(files, col("conv_id"), col("turn_idx"))
+      .write.parquet(dir)
+    (dir, spark.read.parquet(dir).count())
+  }
+
+  /** Streaming snapshot build over the turn log (the north-rule pipeline):
+    * file-stream in `batches` micro-batches → fMGWS fold → MERGE.
+    * Returns wall seconds.
+    */
+  def streamBuild(spark: SparkSession, turnsDir: String, files: Int): Double = {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val tmp = Files.createTempDirectory("graft-bench-table").toString
+    val stream = spark.readStream.schema(Schemas.turn)
+      .option("maxFilesPerTrigger", math.max(files / 8, 1).toString)
+      .parquet(turnsDir).as[Turn]
+    val table = new IcebergLikeTable(s"$tmp/table", 64)
+    val (_, secs) = time {
+      val q = Replay.fromCheckpoint(stream, table, s"$tmp/ckpt", watermark = "3650 days")
+      q.processAllAvailable()
+      q.stop()
+    }
+    secs
+  }
+
+  /** Streaming fold WITHOUT the merge sink (noop foreachBatch) — isolates
+    * fMGWS + state-store cost from MERGE cost for scaling diagnosis.
+    */
+  def streamFoldOnly(spark: SparkSession, turnsDir: String, files: Int): Double = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-bench-fold").toString
+    val stream = spark.readStream.schema(Schemas.turn)
+      .option("maxFilesPerTrigger", math.max(files / 8, 1).toString)
+      .parquet(turnsDir).as[Turn]
+    val (_, secs) = time {
+      val q = graft.snapshot.SnapshotStream.updates(stream, "3650 days")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.model.ConvSnapshot], _: Long) =>
+          df.write.mode("overwrite").format("noop").save()
+        }
+        .start()
+      q.processAllAvailable()
+      if (sys.env.contains("SPARK_GRAFT_DEBUG")) {
+        q.recentProgress.foreach(p => println(s"[batch ${p.batchId}] rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs} state=${p.stateOperators.map(s => s"commit=${s.commitTimeMs}").mkString(",")}"))
+      }
+      q.stop()
+    }
+    secs
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_TURNS", "2000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // max_by/min_by aggregate via ObjectHashAggregate; the default
+      // sort-based fallback threshold (4096 groups/partition) forces the
+      // snapshot fold into sort-aggregation at any realistic key count
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // --- driver-table query timings -----------------------------------
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // --- north-rule headline: snapshot build + replay throughput ------
+    val files = 32
+    val (turnsDir, rows) = writeTurns(spark, nTurns, files)
+    val (_, batchFoldS) = time {
+      SnapshotFold.batchSnapshots(spark.read.parquet(turnsDir))
+        .write.mode("overwrite").format("noop").save()
+    }
+    val streamS = streamBuild(spark, turnsDir, files)
+    val midTs = new java.sql.Timestamp(
+      Synthetic.BaseEpochMs + 12 * 3600 * 1000L)
+    val (_, replayS) = time {
+      import spark.implicits._
+      Replay.toTimestamp(spark.read.parquet(turnsDir).as[Turn], midTs)
+        .write.mode("overwrite").format("noop").save()
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + batchFoldS + streamS + replayS
+    val extra =
+      s""""synthetic":{"turns":$rows,"batch_fold_sec":$batchFoldS,""" +
+        s""""batch_fold_turns_per_sec":${rows / batchFoldS},""" +
+        s""""stream_build_sec":$streamS,"stream_turns_per_sec":${rows / streamS},""" +
+        s""""replay_to_ts_sec":$replayS,"replay_turns_per_sec":${rows / replayS},""" +
+        s""""cpus":$cpus}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.snapshot.SnapshotFold
+
+/** Two-parallelism-level scaling evidence (BASELINE.md Table 2): the same
+  * job on the same input at local[N] and local[4N] — the sandbox proxy for
+  * N vs 4N executors.
+  *
+  * One JVM per measurement: sequential SparkSessions in a single JVM
+  * contaminate each other (GC/code-cache state skewed a third-session run
+  * 10x in either direction), so `tools/scaling.sh` runs GenTurns once and
+  * then one `ScalingBench <cores>` JVM per core count, combining the JSON
+  * lines into BENCH.md.
+  *
+  * Workloads (output fully materialized via the noop sink — a bare count()
+  * would let Catalyst prune the aggregate measures):
+  *  - batch_fold: SnapshotFold.batchSnapshots over the turn log;
+  *  - window_agg: tumbling window + per-window approx-distinct;
+  *  - stream_fold: fMGWS pipeline, noop sink (state-store cost isolated);
+  *  - stream_build: full pipeline incl. Iceberg-like MERGE sink.
+  */
+object ScalingBench {
+
+  val SharedInput = "/tmp/graft-scaling-input/turns"
+
+  def main(args: Array[String]): Unit = {
+    val cores = args.headOption.map(_.toInt)
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_CORES", "32").toInt)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // Shuffle/state partition count is FIXED across core counts — exactly
+    // as on a real cluster, where the streaming job's shuffle partitions
+    // (baked into the state checkpoint) stay constant while executors
+    // scale. Scaling N→4N then means the same 64 work units spread over
+    // 4x the threads; letting partitions track cores would instead vary
+    // the per-partition fixed costs and measure the wrong thing.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "64")
+    require(Files.exists(Paths.get(SharedInput)),
+      s"run graft.GenTurns first to create $SharedInput")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // keep the fixed 64-partition layout through AQE: post-shuffle
+      // coalescing to 64MB targets collapses the final fold to ~6
+      // partitions, starving the 16-core run (scaling artifact, not a
+      // production recommendation — on a real cluster the target size
+      // would be tuned to executor count)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // max_by/min_by aggregate via ObjectHashAggregate; the default
+      // sort-based fallback threshold (4096 groups/partition) forces the
+      // snapshot fold into sort-aggregation at any realistic key count
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rows = spark.read.parquet(SharedInput).count()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+    def best(body: => Unit): Double =
+      (1 to reps).map(_ => Bench.time(body)._2).min
+
+    val results = Seq(
+      "batch_fold" -> best {
+        noop(SnapshotFold.batchSnapshots(spark.read.parquet(SharedInput)))
+      },
+      "window_agg" -> best {
+        noop(spark.read.parquet(SharedInput)
+          .groupBy(window(col("ts"), "5 minutes"))
+          .agg(count(lit(1)).as("n"),
+            approx_count_distinct(col("conv_id")).as("nc")))
+      },
+      // CPU-bound reference workload (regex shingling + 32 hash functions
+      // per row): shows the engine's scaling when not memory-bandwidth
+      // bound. 1/16 deterministic sample keeps the 4-core run ~1 minute.
+      "minhash_sig" -> best {
+        noop(graft.dedup.Dedup.minhashSignatures(
+          spark.read.parquet(SharedInput)
+            .where(pmod(hash(col("conv_id"), col("turn_idx")), lit(16)) === 0)
+            .select(concat_ws("-", col("conv_id"), col("turn_idx")).as("doc_id"),
+              col("text")),
+          "doc_id", "text", numHashes = 32))
+      },
+      "stream_fold" -> (1 to reps).map(_ =>
+        Bench.streamFoldOnly(spark, SharedInput, files = 256)).min,
+      "stream_build" -> (1 to reps).map(_ =>
+        Bench.streamBuild(spark, SharedInput, files = 256)).min)
+
+    results.foreach { case (k, sec) =>
+      println(f"""{"workload":"$k","cores":$cores,"turns":$rows,""" +
+        f""""sec":$sec%.3f,"turns_per_sec":${rows / sec}%.0f}""")
+    }
+    spark.stop()
+  }
+}
+
+/** Writes the shared scaling input once (idempotent). */
+object GenTurns {
+  def main(args: Array[String]): Unit = {
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_TURNS", "16000000").toLong
+    if (Files.exists(Paths.get(ScalingBench.SharedInput))) {
+      println(s"input exists: ${ScalingBench.SharedInput}")
+      return
+    }
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val p = graft.gen.Synthetic.paramsForTurns(nTurns)
+      .copy(hotConvs = 4, hotSize = 20000)
+    graft.gen.Synthetic.turns(spark, p, slices = 128)
+      .repartitionByRange(256, col("conv_id"), col("turn_idx"))
+      .write.parquet(ScalingBench.SharedInput)
+    println(s"wrote ${spark.read.parquet(ScalingBench.SharedInput).count()} turns")
+    spark.stop()
+  }
+}

@@ -41,6 +41,12 @@ object SparkEntry {
     "s1_stream_snapshot" -> (StreamQueries.s1StreamSnapshot _),
     "o1_lineage" -> (StreamQueries.o1Lineage _),
     "h1_lag" -> (StreamQueries.h1Lag _),
+    "s2_json_decode" -> (SnapshotQueries.s2JsonDecode _),
+    "agg_typed_fold" -> (StreamQueries.aggTypedFold _),
+    "rollup_agg" -> (RelationalQueries.rollupAgg _),
+    "approx_distinct" -> (RelationalQueries.approxDistinct _),
+    "ann_expr" -> ((s, d) => graft.ann.Ann.bruteForceTopKExpr(
+      Tables.embeddings(s, d), queryId = 0L, k = 10)),
     // relational surface (SURVEY.md §2.2)
     "wf_running_state" -> (RelationalQueries.wfRunningState _),
     "j1_join_broadcast" -> (RelationalQueries.j1JoinBroadcast _),
@@ -92,6 +98,10 @@ object SparkEntry {
     "w3_session" -> WindowQueries.w3SessionSql,
     "w4_tool_usage" -> WindowQueries.w4ToolUsageSql,
     "s1_stream_snapshot" -> StreamQueries.s1StreamSnapshotSql,
+    "s2_json_decode" -> SnapshotQueries.s2JsonDecodeSql,
+    "agg_typed_fold" -> StreamQueries.s1StreamSnapshotSql, // same semantics, same oracle
+    "rollup_agg" -> RelationalQueries.rollupAggSql,
+    "ann_expr" -> annBruteforceSql,
     "wf_running_state" -> RelationalQueries.wfRunningStateSql,
     "j1_join_broadcast" -> RelationalQueries.j1JoinBroadcastSql,
     "j2_join_shuffle" -> RelationalQueries.j2JoinShuffleSql,

@@ -41,6 +41,22 @@ object Ann {
       .select(col("vec_id"), col("rk"), col("cos"))
   }
 
+  /** Exact top-k via the native CosineSim expression (fused codegen loop —
+    * the fast path; bit-identical scores to [[bruteForceTopK]]).
+    */
+  def bruteForceTopKExpr(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.cosine_sim(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("rk"), col("cos"))
+  }
+
   /** Deterministic hyperplanes: plane p, dim i → a fixed LCG-derived value
     * in [-1, 1). Pure function — identical on every executor, no broadcast
     * of state needed.

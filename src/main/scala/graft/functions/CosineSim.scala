@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: cosine similarity of two float-array
+  * embeddings, computed in double with sequential accumulation (bit-equal
+  * to the zip_with/aggregate formulation and to the DuckDB oracle).
+  *
+  * Why a custom Expression (SURVEY.md §7.4, preference order (b)): the
+  * higher-order-function chain (zip_with → aggregate × 3) materializes an
+  * intermediate array per row-pair and evaluates lambdas interpreted;
+  * this expression is one fused loop with full whole-stage codegen — the
+  * hot path of brute-force ANN over 10^8+ vectors.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs: two array<float> columns (unchecked — internal function)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr1, arr2) => {
+      s"""
+         |int n = java.lang.Math.min($arr1.numElements(), $arr2.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xv = (double) $arr1.getFloat(i);
+         |  double yv = (double) $arr2.getFloat(i);
+         |  dot += xv * yv; nx += xv * xv; ny += yv * yv;
+         |}
+         |${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API surface for the engine's native functions. */
+object GraftFunctions {
+  def cosine_sim(a: Column, b: Column): Column =
+    Shim.column(CosineSim(Shim.expression(a), Shim.expression(b)))
+}

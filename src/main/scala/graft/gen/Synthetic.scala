@@ -52,6 +52,26 @@ object Synthetic {
       math.max(1, math.round(p.avgTurns * 3.0 / math.pow(rank.toDouble, 0.7)).toInt)
     }
 
+  /** Exact mean turns per tail conversation (the size function cycles with
+    * period 997), used to calibrate numConvs for a target total.
+    */
+  def meanTailTurns(p: Params): Double =
+    (1 to 997).map(r =>
+      math.max(1, math.round(p.avgTurns * 3.0 / math.pow(r.toDouble, 0.7)).toInt)
+    ).sum / 997.0
+
+  /** Params sized so the generated total is ≈ `targetTurns`, with a
+    * realistic ~28-turn mean conversation length.
+    */
+  def paramsForTurns(targetTurns: Long, seed: Long = 42L,
+      avgTurns: Int = 300): Params = {
+    val base = Params(seed = seed, avgTurns = avgTurns)
+    val hotTotal = base.hotConvs.toLong * base.hotSize
+    val mean = meanTailTurns(base)
+    base.copy(numConvs =
+      math.max(1L, ((targetTurns - hotTotal).max(0L) / mean).toLong))
+  }
+
   /** All turns of conversation `c` — pure function of (c, params). */
   def genConv(c: Long, p: Params): Seq[Turn] = {
     val rng = new Random(p.seed * 1000003L + c * 7919L)

@@ -127,6 +127,34 @@ object RelationalQueries {
        substr(event_type, 1, 3) AS ty_pfx
        FROM events"""
 
+  /** Grouping sets (SURVEY.md §2.2 cube/rollup row): rollup over
+    * (event_type, user_id) with the grand-total and per-type subtotals.
+    * Null grouping keys are coalesced so the oracle hash is stable.
+    */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .rollup(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("ty"),
+        coalesce(col("user_id"), lit(-1L)).as("uid"),
+        col("n"), col("value_sum"))
+
+  val rollupAggSql: String =
+    """SELECT coalesce(event_type, 'ALL') AS ty,
+       coalesce(user_id, -1) AS uid, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       FROM events GROUP BY ROLLUP(event_type, user_id)"""
+
+  /** Approximate distinct (HLL sketch) vs exact — rows-only check (sketch
+    * estimates are engine-specific); the ApproxSpec test bounds the error.
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).groupBy(col("event_type")).agg(
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      countDistinct(col("user_id")).as("exact_users"))
+
   /** Window functions (SURVEY.md §2.2): running state before each event —
     * the batch oracle of the streaming state-join (StateJoin.enriched):
     * prev_count/prev_event over the per-key (ts, event_id) order.

@@ -105,6 +105,22 @@ object SnapshotQueries {
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
        FROM events"""
 
+  /** S2 — JSON decode (reference line framing + Jackson parse,
+    * NakadiPublisher.scala:175-186): `from_json` with an explicit schema —
+    * schema-on-read for the JSON-carrying column.
+    */
+  def s2JsonDecode(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))).getField("k").as("decoded_k"))
+
+  val s2JsonDecodeSql: String =
+    """SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS decoded_k
+       FROM events"""
+
   /** Q1 — snapshot point lookup (reference: restapi/RestApi.scala:95-119 →
     * consistent getItem). Partition-pruned scan + the same latest-per-key agg
     * restricted to one key.

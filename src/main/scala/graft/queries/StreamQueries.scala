@@ -73,6 +73,22 @@ object StreamQueries {
               a.turn_count, a.first_ts_us, a.last_ts_us
        FROM a JOIN r ON a.conv_id = r.conv_id AND r.rn = 1"""
 
+  /** Typed-Aggregator surface (SURVEY.md §2.2 UDAF row): the same fold as
+    * the streaming pipeline, run as a batch `Aggregator[Turn,Buf,Snap]` —
+    * shares the s1 oracle, so Aggregator == streaming == SQL.
+    */
+  def aggTypedFold(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.snapshot.SnapshotFold.typedSnapshots(eventsAsTurns(s, d).as[Turn])
+      .toDF().select(
+        col("conv_id"),
+        col("last_turn_idx").cast("long").as("last_turn_idx"),
+        col("last_role"),
+        col("turn_count"),
+        unix_micros(col("first_ts")).as("first_ts_us"),
+        unix_micros(col("last_ts")).as("last_ts_us"))
+  }
+
   /** O1/H1 exhibit: per-batch lineage + lag of the same run (rows-only:
     * per-batch partition stats depend on the runner's core count).
     */

@@ -74,6 +74,17 @@ object SnapshotFold {
     }
   }
 
+  /** Timestamp ⇄ epoch-micros without precision loss (Timestamp.getTime
+    * is millis-only; the driver tables carry microsecond timestamps).
+    */
+  def tsToMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  def microsToTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Mergeable partial state for the typed Aggregator. */
   final case class Buf(
       conv_id: String,
@@ -83,7 +94,7 @@ object SnapshotFold {
       last_text: String,
       turn_count: Long,
       tool_counts: Map[String, Long],
-      first_ts_ms: Long,
+      first_ts_ms: Long, // epoch MICROS despite the legacy name
       last_ts_ms: Long)
 
   object SnapshotAgg extends Aggregator[Turn, Buf, ConvSnapshot] {
@@ -101,8 +112,8 @@ object SnapshotFold {
           if (t.tool.nonEmpty)
             b.tool_counts.updated(t.tool, b.tool_counts.getOrElse(t.tool, 0L) + 1L)
           else b.tool_counts,
-        first_ts_ms = math.min(b.first_ts_ms, t.ts.getTime),
-        last_ts_ms = math.max(b.last_ts_ms, t.ts.getTime))
+        first_ts_ms = math.min(b.first_ts_ms, tsToMicros(t.ts)),
+        last_ts_ms = math.max(b.last_ts_ms, tsToMicros(t.ts)))
     }
     def merge(a: Buf, b: Buf): Buf = {
       val (hi, lo) = if (b.last_turn_idx > a.last_turn_idx) (b, a) else (a, b)
@@ -118,7 +129,7 @@ object SnapshotFold {
     def finish(b: Buf): ConvSnapshot = ConvSnapshot(
       b.conv_id, b.last_turn_idx, b.last_role, b.last_tool, b.last_text,
       b.turn_count, canonMap(b.tool_counts),
-      new Timestamp(b.first_ts_ms), new Timestamp(b.last_ts_ms))
+      microsToTs(b.first_ts_ms), microsToTs(b.last_ts_ms))
     def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     def outputEncoder: Encoder[ConvSnapshot] = Encoders.product[ConvSnapshot]
   }

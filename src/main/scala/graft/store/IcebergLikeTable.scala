@@ -191,7 +191,10 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int)(
     var signalFiles = m.signalFiles
     signalsDf.foreach { sdf =>
       val sdir = s"$root/signals/$version"
-      sdf.coalesce(1).write.parquet(sdir)
+      // NO coalesce: signals carry one row per changed key — at scale this
+      // is millions of rows per batch and must write with full task
+      // parallelism (a coalesce(1) here was a 35s/run serial bottleneck).
+      sdf.write.parquet(sdir)
       signalFiles = signalFiles ++ listParquet(sdir, s"signals/$version")
     }
 

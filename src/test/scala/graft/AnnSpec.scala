@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+import graft.functions.GraftFunctions
+import graft.queries.{RelationalQueries, Tables}
+
+/** Similarity-search correctness: the native CosineSim expression is
+  * bit-identical to the higher-order-function formulation; LSH candidates
+  * are a subset re-ranked exactly; approx_count_distinct error is bounded.
+  */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("CosineSim expression == zip_with/aggregate formulation, bit-exact") {
+    val e = Tables.embeddings(spark, dir).limit(200)
+    val self = e.select($"vec_id", $"embedding".as("a"), $"embedding".as("b"))
+    val both = self.select(
+      $"vec_id",
+      GraftFunctions.cosine_sim($"a", $"b").as("expr_cos"),
+      (Ann.dotD($"a", $"b") / (Ann.normD($"a") * Ann.normD($"b"))).as("hof_cos"))
+    val diffs = both.filter($"expr_cos" =!= $"hof_cos").count()
+    assert(diffs === 0L)
+    // and against a rotated pairing (a_i vs a_{i+1}) for non-trivial pairs
+    val shifted = e.withColumn("vec_id", $"vec_id" - 1)
+      .withColumnRenamed("embedding", "b_emb")
+    val pairs = e.join(shifted, "vec_id")
+      .select(GraftFunctions.cosine_sim($"embedding", $"b_emb").as("ec"),
+        (Ann.dotD($"embedding", $"b_emb") /
+          (Ann.normD($"embedding") * Ann.normD($"b_emb"))).as("hc"))
+    assert(pairs.filter($"ec" =!= $"hc").count() === 0L)
+  }
+
+  test("expression top-k equals HOF top-k") {
+    val e = Tables.embeddings(spark, dir)
+    val a = Ann.bruteForceTopK(e, 0L, 10).select($"vec_id", $"rk").collect().toSet
+    val b = Ann.bruteForceTopKExpr(e, 0L, 10).select($"vec_id", $"rk").collect().toSet
+    assert(a === b)
+  }
+
+  test("LSH top-k results are true neighbors (subset of brute-force order)") {
+    val e = Tables.embeddings(spark, dir)
+    val exact = Ann.bruteForceTopK(e, 0L, 1000)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toMap
+    val lsh = Ann.lshTopK(e, 0L, 10, dim = 64, nPlanes = 4)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (id, cos) =>
+      assert(exact.contains(id) && math.abs(exact(id) - cos) === 0.0,
+        s"LSH score for $id diverges from exact")
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val rows = RelationalQueries.approxDistinct(spark, dir)
+      .select($"approx_users", $"exact_users").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"HLL error too large: $approx vs $exact")
+    }
+  }
+}

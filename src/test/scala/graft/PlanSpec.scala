@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import graft.queries._
+
+/** Plan-quality assertions (the 100-TB contract): filters and projections
+  * must reach the parquet scan, small dimensions must broadcast, the
+  * snapshot fold must partial-aggregate before its single shuffle.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("F1 filter is pushed into the parquet scan") {
+    val p = planOf(SnapshotQueries.f1Filter(spark, dir))
+    assert(p.contains("PushedFilters:") &&
+      p.contains("In(event_type") && p.contains("GreaterThanOrEqual(value"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("D1 dump-keys scan reads only the key column (projection pushdown)") {
+    val p = planOf(SnapshotQueries.d1DumpKeys(spark, dir))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("user_id") && !read.contains("props") &&
+      !read.contains("event_type"), s"scan not pruned: $read")
+  }
+
+  test("J1 uses a broadcast hash join (no shuffle of the fact side)") {
+    val p = planOf(RelationalQueries.j1JoinBroadcast(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("A1 snapshot fold partial-aggregates before its single shuffle") {
+    val df = SnapshotQueries.a1SnapshotLatest(spark, dir)
+    val p = planOf(df)
+    // partial max_by before the exchange, final after — exactly one exchange
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected exactly 1 shuffle, plan:\n$p")
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      p.toLowerCase.contains("partial"), s"no partial aggregation:\n$p")
+  }
+
+  test("whole-stage codegen covers scan→filter→agg pipelines") {
+    // q1Agg: declarative sums/counts stay in codegen'd HashAggregate.
+    // (The max_by fold uses ObjectHashAggregate — partial-agg capable but
+    // not codegen; its scan/project stages below it still fuse.)
+    val df = RelationalQueries.q1Agg(spark, dir)
+    df.collect() // materialize THIS plan so AQE finalizes it (count() builds its own)
+    val p = planOf(df)
+    assert(p.contains("isFinalPlan=true"), s"AQE did not finalize:\n$p")
+    // "*(n) Op" is the simple-string marker for a WholeStageCodegen span
+    assert(p.contains("*(") && p.contains("HashAggregate"),
+      s"no codegen spans:\n$p")
+  }
+
+  test("point lookup prunes with an IsNotNull+EqualTo pushed filter") {
+    val p = planOf(SnapshotQueries.q1PointLookup(spark, dir))
+    assert(p.contains("EqualTo(user_id,7)"), s"lookup filter not pushed:\n$p")
+  }
+}

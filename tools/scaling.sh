@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# Two-parallelism-level scaling run: fresh JVM per core count (sequential
+# SparkSessions in one JVM contaminate each other's timings).
+# Usage: tools/scaling.sh [lo] [hi] [turns]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+LO="${1:-8}" HI="${2:-32}" TURNS="${3:-16000000}"
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-40g}"
+export SPARK_GRAFT_TURNS="$TURNS"
+
+ROUNDS="${SPARK_GRAFT_ROUNDS:-3}"
+sbt -batch "runMain graft.GenTurns" 2>&1 | grep -E "wrote|exists" || true
+: > /tmp/scaling_lo.jsonl; : > /tmp/scaling_hi.jsonl
+# interleave fresh-JVM runs of both configs to cancel host-noise windows;
+# per-config best-of-ROUNDS taken below
+for i in $(seq "$ROUNDS"); do
+  sbt -batch "runMain graft.ScalingBench $LO" 2>&1 | grep -oE '\{"workload".*\}' >> /tmp/scaling_lo.jsonl
+  sbt -batch "runMain graft.ScalingBench $HI" 2>&1 | grep -oE '\{"workload".*\}' >> /tmp/scaling_hi.jsonl
+done
+
+python3 - "$LO" "$HI" <<'EOF'
+import json, sys
+lo_n, hi_n = int(sys.argv[1]), int(sys.argv[2])
+def best(path):
+    out = {}
+    for l in open(path):
+        r = json.loads(l)
+        k = r["workload"]
+        if k not in out or r["sec"] < out[k]["sec"]:
+            out[k] = r
+    return out
+lo = best("/tmp/scaling_lo.jsonl")
+hi = best("/tmp/scaling_hi.jsonl")
+factor = hi_n / lo_n
+print(f"| workload | turns | sec@{lo_n} | sec@{hi_n} | turns/s@{lo_n} | turns/s@{hi_n} | efficiency |")
+print("|---|---|---|---|---|---|---|")
+for k in sorted(lo):
+    l, h = lo[k], hi[k]
+    eff = (h["turns_per_sec"] / l["turns_per_sec"]) / factor
+    print(f"| {k} | {l['turns']} | {l['sec']:.3f} | {h['sec']:.3f} | "
+          f"{l['turns_per_sec']:.0f} | {h['turns_per_sec']:.0f} | {eff:.3f} |")
+EOF
