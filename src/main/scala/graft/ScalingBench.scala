@@ -65,31 +65,41 @@ object ScalingBench {
     def best(body: => Unit): Double =
       (1 to reps).map(_ => Bench.time(body)._2).min
 
-    val results = Seq(
-      "batch_fold" -> best {
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def want(k: String) = only.forall(_.contains(k))
+    val all = Seq[(String, () => Double)](
+      "scan_only" -> (() => best {
+        noop(spark.read.parquet(SharedInput))
+      }),
+      "shuffle_rt" -> (() => best {
+        noop(spark.read.parquet(SharedInput)
+          .repartition(64, col("conv_id")))
+      }),
+      "batch_fold" -> (() => best {
         noop(SnapshotFold.batchSnapshots(spark.read.parquet(SharedInput)))
-      },
-      "window_agg" -> best {
+      }),
+      "window_agg" -> (() => best {
         noop(spark.read.parquet(SharedInput)
           .groupBy(window(col("ts"), "5 minutes"))
           .agg(count(lit(1)).as("n"),
             approx_count_distinct(col("conv_id")).as("nc")))
-      },
+      }),
       // CPU-bound reference workload (regex shingling + 32 hash functions
       // per row): shows the engine's scaling when not memory-bandwidth
       // bound. 1/16 deterministic sample keeps the 4-core run ~1 minute.
-      "minhash_sig" -> best {
+      "minhash_sig" -> (() => best {
         noop(graft.dedup.Dedup.minhashSignatures(
           spark.read.parquet(SharedInput)
             .where(pmod(hash(col("conv_id"), col("turn_idx")), lit(16)) === 0)
             .select(concat_ws("-", col("conv_id"), col("turn_idx")).as("doc_id"),
               col("text")),
           "doc_id", "text", numHashes = 32))
-      },
-      "stream_fold" -> (1 to reps).map(_ =>
-        Bench.streamFoldOnly(spark, SharedInput, files = 256)).min,
-      "stream_build" -> (1 to reps).map(_ =>
-        Bench.streamBuild(spark, SharedInput, files = 256)).min)
+      }),
+      "stream_fold" -> (() => (1 to reps).map(_ =>
+        Bench.streamFoldOnly(spark, SharedInput, files = 256)).min),
+      "stream_build" -> (() => (1 to reps).map(_ =>
+        Bench.streamBuild(spark, SharedInput, files = 256)).min))
+    val results = all.filter(w => want(w._1)).map { case (k, f) => k -> f() }
 
     results.foreach { case (k, sec) =>
       println(f"""{"workload":"$k","cores":$cores,"turns":$rows,""" +

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import graft.replay.Replay
+import graft.store.IcebergLikeTable
+
+/** D2 — the dump pipeline (reference: dumps/SqsDumpRunner.scala:54-74:
+  * key scan → grouped publish → Done; abortable via kill switch).
+  *
+  * Spark restatement: a column-pruned scan of the snapshot table's key set,
+  * published per partition (the SQS batcher analog is the caller-supplied
+  * `publish`), lifecycle tracked in [[DumpManager]], cancellation mapped to
+  * `cancelJobGroup` (SURVEY.md §3.3).
+  */
+object DumpService {
+
+  /** Run a dump synchronously; returns the dump uid.
+    * `publish` runs on executors — it must be serializable (e.g. write to a
+    * queue client, or an accumulator in tests).
+    */
+  def runDump(manager: DumpManager, target: String, table: IcebergLikeTable,
+      publish: Iterator[String] => Unit, forceRestart: Boolean = false)(
+      implicit spark: SparkSession): String = {
+    val uid = manager.start(target, forceRestart)
+    try {
+      spark.sparkContext.setJobGroup(uid, s"dump $target", interruptOnCancel = true)
+      Replay.dump(table).as(Encoders.STRING).foreachPartition(publish)
+      manager.finish(uid)
+      uid
+    } catch {
+      case e: Throwable =>
+        // cancellation surfaces as a SparkException; map to Aborted if the
+        // manager already flipped the state, else Failed
+        if (manager.status(uid) == DumpStatus.Running) manager.fail(uid)
+        throw e
+    } finally {
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+
+  /** Abort a running dump: cancel its Spark jobs and flip the state. */
+  def abort(manager: DumpManager, uid: String)(implicit spark: SparkSession): Unit = {
+    manager.abort(uid)
+    spark.sparkContext.cancelJobGroup(uid)
+  }
+}

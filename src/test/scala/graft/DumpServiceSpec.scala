@@ -1,0 +1,41 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+import graft.gen.Synthetic
+import graft.model.Turn
+import graft.ops.{DumpManager, DumpService, DumpStatus}
+import graft.snapshot.SnapshotFold
+import graft.store.IcebergLikeTable
+
+/** D2 — dump pipeline over a real snapshot table: complete key set
+  * published (including the last page/batch — the reference's scanner
+  * drops its final page, SURVEY.md §2.1 quirk note), lifecycle flips,
+  * publish parallelism = table partitions.
+  */
+class DumpServiceSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val s: org.apache.spark.sql.SparkSession = spark
+
+  test("dump publishes the complete key set exactly once and finishes") {
+    val params = Synthetic.Params(numConvs = 25, avgTurns = 6, hotConvs = 1,
+      hotSize = 40, seed = 17L)
+    val turns: Seq[Turn] =
+      (0L until params.numConvs).flatMap(c => Synthetic.genConv(c, params))
+    val table = new IcebergLikeTable(tmpDir("dumptbl") + "/t", 4)
+    table.merge(SnapshotFold.typedSnapshots(spark.createDataset(turns)).toDF(),
+      "conv_id", 0L)
+
+    val acc = spark.sparkContext.collectionAccumulator[String]("dumped")
+    val manager = new DumpManager
+    val uid = DumpService.runDump(manager, "snapshots", table,
+      it => it.foreach(acc.add))
+    assert(manager.status(uid) === DumpStatus.FinishedSuccessfully)
+    val published = acc.value.asScala.toSeq
+    assert(published.size === published.distinct.size, "duplicate keys published")
+    assert(published.toSet === turns.map(_.conv_id).toSet,
+      "dump must cover every key incl. the final page")
+    // a second dump for the same target is allowed after the first finished
+    val uid2 = DumpService.runDump(manager, "snapshots", table, _ => ())
+    assert(uid2 !== uid)
+  }
+}
