@@ -54,6 +54,18 @@ object SparkEntry {
     "q1_agg" -> (RelationalQueries.q1Agg _),
     "topk_hot_keys" -> (RelationalQueries.topkHotKeys _),
     "set_except" -> (RelationalQueries.setExcept _),
+    "set_intersect" -> (RelationalQueries.setIntersect _),
+    "cube_agg" -> (RelationalQueries.cubeAgg _),
+    // Q2 — snapshot list (znap RestApi.scala:42-48): engine registry of
+    // available tables in the dataset directory (rows-only).
+    "q2_snapshot_list" -> ((s, d) => {
+      import org.apache.spark.sql.functions.lit
+      val names = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet"))
+        .sorted.toSeq
+      import s.implicits._
+      names.toDF("snapshot_target")
+    }),
     "scalar_fns" -> (RelationalQueries.scalarFns _),
     // training-data pipeline: text analysis + dedup
     "dedup_exact" -> (TextQueries.dedupExact _),
@@ -108,6 +120,8 @@ object SparkEntry {
     "q1_agg" -> RelationalQueries.q1AggSql,
     "topk_hot_keys" -> RelationalQueries.topkHotKeysSql,
     "set_except" -> RelationalQueries.setExceptSql,
+    "set_intersect" -> RelationalQueries.setIntersectSql,
+    "cube_agg" -> RelationalQueries.cubeAggSql,
     "scalar_fns" -> RelationalQueries.scalarFnsSql,
     "dedup_exact" -> TextQueries.dedupExactSql,
     "text_quality" -> TextQueries.textQualitySql,

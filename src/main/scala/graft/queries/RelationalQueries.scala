@@ -105,6 +105,35 @@ object RelationalQueries {
        SELECT user_id, CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s
        FROM events WHERE event_type = 'error'"""
 
+  /** Set intersection: keys active in BOTH halves of the month. */
+  def setIntersect(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    ev.filter(col("ts") < cut).select(col("user_id"))
+      .intersect(ev.filter(col("ts") >= cut).select(col("user_id")))
+  }
+
+  val setIntersectSql: String =
+    """SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+       INTERSECT
+       SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'"""
+
+  /** CUBE over (event_type, day): all four grouping-set combinations. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day_s", unix_seconds(date_trunc("day", col("ts"))))
+      .cube(col("event_type"), col("day_s"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("ty"),
+        coalesce(col("day_s"), lit(-1L)).as("day_s2"), col("n"))
+
+  val cubeAggSql: String =
+    """SELECT coalesce(event_type, 'ALL') AS ty,
+       coalesce(CAST(epoch(date_trunc('day', ts)) AS BIGINT), -1) AS day_s2,
+       count(*) AS n
+       FROM events
+       GROUP BY CUBE(event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT))"""
+
   /** Scalar function surface (string/date/math/json — SURVEY.md §2.2):
     * engine-neutral functions only, so the oracle is bit-exact.
     */
