@@ -104,7 +104,11 @@ object Bench {
     // --- driver-table query timings -----------------------------------
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // a failed query must be LOUD, not a silently shorter total
+          System.err.println(s"[bench] QUERY FAILED $name: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
 

@@ -23,6 +23,19 @@ object Ann {
 
   def normD(a: Column): Column = sqrt(dotD(a, a))
 
+  /** Distributed top-k: `orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject — each partition keeps its local k, only k rows
+    * per partition ever merge — then the rank is derived by a window over
+    * the tiny k-row result. (The naive `row_number().over(Window.orderBy)`
+    * on the scored set shuffles EVERY row to one task; at 10^8 vectors the
+    * scoring parallelizes and then serializes on one core.)
+    */
+  private def rankedTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.orderBy(col("cos").desc, col("vec_id").asc).limit(k)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
+      .select(col("vec_id"), col("rk"), col("cos"))
+
   /** Exact top-k by cosine against the embedding of `queryId`.
     * The single query row is broadcast — no shuffle of the big side.
     */
@@ -34,11 +47,7 @@ object Ann {
       .select(col("vec_id"),
         (dotD(col("embedding"), col("q_emb")) /
           (normD(col("embedding")) * normD(col("q_emb")))).as("cos"))
-    scored
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("vec_id"), col("rk"), col("cos"))
+    rankedTopK(scored, k)
   }
 
   /** Exact top-k via the native CosineSim expression (fused codegen loop —
@@ -47,14 +56,11 @@ object Ann {
   def bruteForceTopKExpr(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
-    emb.filter(col("vec_id") =!= queryId)
+    val scored = emb.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         graft.functions.GraftFunctions.cosine_sim(col("embedding"), col("q_emb")).as("cos"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("vec_id"), col("rk"), col("cos"))
+    rankedTopK(scored, k)
   }
 
   /** Deterministic hyperplanes: plane p, dim i → a fixed LCG-derived value
@@ -87,15 +93,12 @@ object Ann {
       signature(col("embedding"), dim, nPlanes).as("bucket"))
     val q = sig.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
-    sig.filter(col("vec_id") =!= queryId)
+    val scored = sig.filter(col("vec_id") =!= queryId)
       .join(broadcast(q), col("bucket") === col("q_bucket"))
       .select(col("vec_id"),
         (dotD(col("embedding"), col("q_emb")) /
           (normD(col("embedding")) * normD(col("q_emb")))).as("cos"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cos").desc, col("vec_id").asc)).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("vec_id"), col("rk"), col("cos"))
+    rankedTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs within an id range: exact

@@ -71,16 +71,18 @@ object RelationalQueries {
        GROUP BY l_returnflag, l_linestatus"""
 
   /** Top-k hot keys (skew diagnostics, SURVEY.md §2.2 sorts/limits row):
-    * deterministic tie-break by key. At scale: partial agg → tiny shuffled
-    * key-count table → single window over it (cheap; cardinality = #keys).
+    * deterministic tie-break by key. At scale: partial agg → shuffled
+    * key-count table → `orderBy().limit(k)` = TakeOrderedAndProject (each
+    * partition keeps its local k; no global single-partition sort), rank
+    * derived on the k-row result.
     */
   def topkHotKeys(s: SparkSession, d: String): DataFrame = {
     val counts = Tables.events(s, d).groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"))
-    counts
+    counts.orderBy(col("n_events").desc, col("user_id").asc).limit(10)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("n_events").desc, col("user_id").asc)).cast("long"))
-      .filter(col("rk") <= 10)
+      .select(col("user_id"), col("n_events"), col("rk"))
   }
 
   val topkHotKeysSql: String =

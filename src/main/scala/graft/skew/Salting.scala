@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * spread over S reducers and pre-combined; phase 2 merges the ≤S partials
   * per conv_id. The merge is associative/commutative (max_by on
   * (turn_idx, ts), sum of counts, min/max of bounds) so the result is
-  * identical to the unsalted fold — asserted by SaltingSpec.
+  * identical to the unsalted fold — asserted in SnapshotFoldSpec
+  * ("salted fold equals unsalted fold").
   *
   * At 100 TB: phase 1's shuffle keys are uniform by construction; phase 2
   * shuffles ≤ S rows per conversation. AQE skew-join splitting

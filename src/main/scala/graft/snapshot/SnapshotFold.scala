@@ -85,10 +85,17 @@ object SnapshotFold {
     t
   }
 
-  /** Mergeable partial state for the typed Aggregator. */
+  /** Mergeable partial state for the typed Aggregator. `last_sel_ts_us`
+    * is the event time of the currently-selected last turn — carried so
+    * [[SnapshotAgg.merge]] can tie-break equal turn_idx on (turn_idx, ts)
+    * exactly like [[fold]] and [[batchSnapshots]] (otherwise the typed
+    * fold would be nondeterministic under duplicate turn_idx values,
+    * diverging from the other two forms by partial-merge order).
+    */
   final case class Buf(
       conv_id: String,
       last_turn_idx: Int,
+      last_sel_ts_us: Long,
       last_role: String,
       last_tool: String,
       last_text: String,
@@ -98,12 +105,16 @@ object SnapshotFold {
       last_ts_ms: Long)
 
   object SnapshotAgg extends Aggregator[Turn, Buf, ConvSnapshot] {
-    def zero: Buf = Buf("", -1, "", "", "", 0L, Map.empty, Long.MaxValue, Long.MinValue)
+    def zero: Buf =
+      Buf("", -1, Long.MinValue, "", "", "", 0L, Map.empty, Long.MaxValue, Long.MinValue)
     def reduce(b: Buf, t: Turn): Buf = {
-      val take = t.turn_idx >= b.last_turn_idx
+      val tUs = tsToMicros(t.ts)
+      val take = t.turn_idx > b.last_turn_idx ||
+        (t.turn_idx == b.last_turn_idx && tUs >= b.last_sel_ts_us)
       Buf(
         conv_id = if (b.conv_id.isEmpty) t.conv_id else b.conv_id,
         last_turn_idx = if (take) t.turn_idx else b.last_turn_idx,
+        last_sel_ts_us = if (take) tUs else b.last_sel_ts_us,
         last_role = if (take) t.role else b.last_role,
         last_tool = if (take) t.tool else b.last_tool,
         last_text = if (take) t.text else b.last_text,
@@ -116,7 +127,9 @@ object SnapshotFold {
         last_ts_ms = math.max(b.last_ts_ms, tsToMicros(t.ts)))
     }
     def merge(a: Buf, b: Buf): Buf = {
-      val (hi, lo) = if (b.last_turn_idx > a.last_turn_idx) (b, a) else (a, b)
+      val bWins = b.last_turn_idx > a.last_turn_idx ||
+        (b.last_turn_idx == a.last_turn_idx && b.last_sel_ts_us > a.last_sel_ts_us)
+      val (hi, lo) = if (bWins) (b, a) else (a, b)
       hi.copy(
         conv_id = if (hi.conv_id.isEmpty) lo.conv_id else hi.conv_id,
         turn_count = a.turn_count + b.turn_count,

@@ -55,6 +55,31 @@ class PlanSpec extends SparkSpec {
       s"no codegen spans:\n$p")
   }
 
+  test("top-k queries plan a distributed TakeOrderedAndProject, not a global-window sort") {
+    // The anti-pattern: row_number().over(Window.orderBy(...)) with no
+    // partitionBy shuffles EVERY scored row to one task. The fixed shape
+    // sorts per-partition, keeps k per partition, and only then windows
+    // over the tiny k-row result.
+    val emb = Tables.embeddings(spark, dir)
+    val plans = Seq(
+      "ann_bruteforce" -> graft.ann.Ann.bruteForceTopK(emb, 0L, 10),
+      "ann_expr" -> graft.ann.Ann.bruteForceTopKExpr(emb, 0L, 10),
+      "ann_lsh" -> graft.ann.Ann.lshTopK(emb, 0L, 10, dim = 64, nPlanes = 4),
+      "topk_hot_keys" -> RelationalQueries.topkHotKeys(spark, dir))
+    plans.foreach { case (name, df) =>
+      val p = planOf(df)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: expected TakeOrderedAndProject:\n$p")
+      // the big scored side must NOT feed a single-partition exchange before
+      // the top-k: the only SinglePartition exchange allowed is the one
+      // feeding the k-row ranking window, which sits ABOVE TakeOrdered.
+      val lines = p.linesIterator.toSeq
+      val takeIdx = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+      val badBelow = lines.drop(takeIdx + 1).exists(_.contains("Exchange SinglePartition"))
+      assert(!badBelow, s"$name: single-partition exchange below the top-k:\n$p")
+    }
+  }
+
   test("point lookup prunes with an IsNotNull+EqualTo pushed filter") {
     val p = planOf(SnapshotQueries.q1PointLookup(spark, dir))
     assert(p.contains("EqualTo(user_id,7)"), s"lookup filter not pushed:\n$p")
