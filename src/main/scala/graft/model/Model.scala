@@ -71,6 +71,22 @@ object Schemas {
     StructField("tool", StringType, nullable = false),
     StructField("ts", TimestampType, nullable = false)))
 
+  val lineage: StructType = StructType(Seq(
+    StructField("batch_id", LongType, nullable = false),
+    StructField("partition_id", IntegerType, nullable = false),
+    StructField("min_conv_id", StringType, nullable = false),
+    StructField("min_turn_idx", IntegerType, nullable = false),
+    StructField("max_conv_id", StringType, nullable = false),
+    StructField("max_turn_idx", IntegerType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("committed_ts", TimestampType, nullable = false)))
+
+  val signal: StructType = StructType(Seq(
+    StructField("batch_id", LongType, nullable = false),
+    StructField("conv_id", StringType, nullable = false),
+    StructField("publish_type", StringType, nullable = false),
+    StructField("payload", StringType, nullable = false)))
+
   val snapshot: StructType = StructType(Seq(
     StructField("conv_id", StringType, nullable = false),
     StructField("last_turn_idx", IntegerType, nullable = false),

@@ -52,9 +52,15 @@ object MergeSink {
       case "keys" => col("conv_id")
       case "events" => to_json(struct(col("conv_id"), col("last_turn_idx"),
         col("last_role"), col("last_text")))
-      case "events-compressed" => base64(to_binary(sha2(to_json(struct(
-        col("conv_id"), col("last_turn_idx"), col("last_text"))), 256), lit("hex")))
-      case other => lit(other)
+      // gzip+base64 of the event JSON — consumers recover the event by
+      // base64-decode + gunzip, like the reference's Compressor
+      // (utils/Compressor.scala:27-42). A digest here would be
+      // unrecoverable and useless to a signal consumer.
+      case "events-compressed" => graft.functions.GzipCodec.gzipB64(
+        to_json(struct(col("conv_id"), col("last_turn_idx"),
+          col("last_role"), col("last_text"))))
+      case other => throw new IllegalArgumentException(
+        s"unknown publishType '$other' (expected keys|events|events-compressed)")
     }
     updates.select(
       lit(batchId).as("batch_id"),

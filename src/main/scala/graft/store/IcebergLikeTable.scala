@@ -1,18 +1,21 @@
 package graft.store
 
-import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.collection.immutable.ListMap
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.model.Schemas
 
 /** Iceberg-*shaped* snapshot table (SURVEY.md §7.0, §7.3): Parquet data
   * files laid out in hash buckets `bucket = pmod(hash(key), B)` plus an
-  * atomic JSON manifest that is the single source of truth for which files
-  * are live. Commit = write-temp + atomic rename, exactly the visibility
-  * contract `MERGE INTO` gives on a real Iceberg table (no Iceberg runtime
-  * jar exists in this image; the interface is drop-in replaceable).
+  * atomic JSON-ish manifest that is the single source of truth for which
+  * files are live. Commit = write-temp + atomic rename, exactly the
+  * visibility contract `MERGE INTO` gives on a real Iceberg table (no
+  * Iceberg runtime jar exists in this image; the interface is drop-in
+  * replaceable).
   *
   * znap analog: the DynamoDB KV snapshot table
   * (reference: persistence/dynamo/DynamoDBEventsWriter.scala:32-53) — but
@@ -20,37 +23,55 @@ import org.apache.spark.sql.functions._
   * per-item, which upgrades znap's at-least-once/idempotent-put argument
   * (SURVEY.md §1.3) to exactly-once.
   *
-  * Scale shape: a MERGE rewrites ONLY the buckets containing changed keys
-  * (file pruning via the manifest's bucket→files map); reads prune to one
-  * bucket for point lookups. At 1000 executors, B is sized so each bucket
-  * rewrite is one task's worth of data.
+  * Scale shape — merge-on-read: each MERGE appends O(batch) delta files
+  * (bucket-partitioned, tagged with a per-row `__seq` = batchId); readers
+  * resolve last-writer-wins per key by max `__seq`. A bucket whose delta
+  * count reaches `maxDeltasPerBucket` is compacted (base ∪ deltas resolved
+  * and rewritten) inside the same commit, so per-batch write volume is
+  * O(batch) amortized — NOT O(table), which a rewrite-on-every-merge
+  * design degrades to once micro-batches touch most buckets. Superseded
+  * files are vacuumed after each commit (files no longer referenced by the
+  * live manifest), so storage is bounded by live data + in-flight deltas.
+  *
+  * Invariant assumed of `updates`: at most one row per key per batch (the
+  * fMGWS fold emits exactly one updated snapshot per touched key), so
+  * (key, __seq) is unique and last-writer-wins resolution is total.
   */
-final class IcebergLikeTable(val root: String, val numBuckets: Int)(
+final class IcebergLikeTable(val root: String, val numBuckets: Int,
+    val keyCol: String = "conv_id", val maxDeltasPerBucket: Int = 8,
+    val autoVacuum: Boolean = true, val emptySchema: StructType = Schemas.snapshot)(
     implicit spark: SparkSession) {
 
   private val manifestPath: Path = Paths.get(root, "manifest.json")
   Files.createDirectories(Paths.get(root, "data"))
 
   // ---- manifest ------------------------------------------------------
-  /** lastBatchId = -1 means "empty table". Minimal hand-rolled JSON (flat
-    * structure, only paths and longs) to stay dependency-free.
+  /** lastBatchId = -1 means "empty table". `buckets` are the compacted
+    * base files; `deltas` the per-bucket ordered delta files appended
+    * since that bucket's last compaction.
     */
   final case class Manifest(lastBatchId: Long, buckets: Map[Int, Seq[String]],
-      lineageFiles: Seq[String], signalFiles: Seq[String])
+      deltas: Map[Int, Seq[String]], lineageFiles: Seq[String],
+      signalFiles: Seq[String]) {
+    def dataFiles: Seq[String] =
+      (buckets.values.flatten ++ deltas.values.flatten).toSeq
+  }
 
   def readManifest(): Manifest =
-    if (!Files.exists(manifestPath)) Manifest(-1L, Map.empty, Nil, Nil)
+    if (!Files.exists(manifestPath)) Manifest(-1L, Map.empty, Map.empty, Nil, Nil)
     else parseManifest(Files.readString(manifestPath))
 
   private def parseManifest(s: String): Manifest = {
-    // format (one bucket per line, written by render below):
+    // format (one entry per line, written by renderManifest):
     //   lastBatchId=<n>
     //   lineage=<f1>,<f2>
     //   signals=<f1>,<f2>
-    //   bucket:<id>=<f1>,<f2>,...
+    //   bucket:<id>=<f1>,<f2>,...      (compacted base)
+    //   delta:<id>=<f1>,<f2>,...       (merge-on-read deltas, seq order)
     val lines = s.split("\n").filter(_.nonEmpty)
     var last = -1L
     val buckets = scala.collection.mutable.Map[Int, Seq[String]]()
+    val deltas = scala.collection.mutable.Map[Int, Seq[String]]()
     var lineage: Seq[String] = Nil
     var signals: Seq[String] = Nil
     lines.foreach {
@@ -62,9 +83,13 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int)(
       case l if l.startsWith("bucket:") =>
         val Array(k, v) = l.substring(7).split("=", 2)
         buckets(k.toInt) = v.split(",").filter(_.nonEmpty).toSeq
+      case l if l.startsWith("delta:") =>
+        val Array(k, v) = l.substring(6).split("=", 2)
+        deltas(k.toInt) = v.split(",").filter(_.nonEmpty).toSeq
       case _ =>
     }
-    Manifest(last, ListMap(buckets.toSeq.sortBy(_._1): _*), lineage, signals)
+    Manifest(last, ListMap(buckets.toSeq.sortBy(_._1): _*),
+      ListMap(deltas.toSeq.sortBy(_._1): _*), lineage, signals)
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -74,6 +99,9 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int)(
     sb.append(s"signals=${m.signalFiles.mkString(",")}\n")
     m.buckets.toSeq.sortBy(_._1).foreach { case (b, fs) =>
       sb.append(s"bucket:$b=${fs.mkString(",")}\n")
+    }
+    m.deltas.toSeq.sortBy(_._1).foreach { case (b, fs) =>
+      sb.append(s"delta:$b=${fs.mkString(",")}\n")
     }
     sb.toString
   }
@@ -90,41 +118,64 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int)(
   }
 
   // ---- read ----------------------------------------------------------
-  def bucketOf(keyCol: String): org.apache.spark.sql.Column =
-    pmod(hash(col(keyCol)), lit(numBuckets))
+  def bucketOf(c: String): Column = pmod(hash(col(c)), lit(numBuckets))
 
-  /** Snapshot-consistent read: only files the manifest lists. */
+  private def emptyDf(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** Last-writer-wins resolution over base ∪ delta rows: the row with the
+    * greatest `__seq` per key survives. Skipped entirely when a bucket has
+    * no deltas (base already holds one row per key).
+    */
+  private def resolve(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__seq").desc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "__seq")
+  }
+
+  /** Snapshot-consistent read: only files the manifest lists. Returns a
+    * schema-stable empty frame for the empty table (so downstream column
+    * selects — e.g. Replay.dump's select(keyCol) — see zero rows, not an
+    * AnalysisException from a schemaless emptyDataFrame).
+    */
   def read(): DataFrame = {
     val m = readManifest()
-    val files = m.buckets.values.flatten.map(f => s"$root/$f").toSeq
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    val files = m.dataFiles.map(f => s"$root/$f")
+    if (files.isEmpty) emptyDf(emptySchema)
+    else if (m.deltas.values.forall(_.isEmpty))
+      spark.read.parquet(files: _*).drop("__seq")
+    else resolve(spark.read.parquet(files: _*))
   }
 
   /** Point lookup — prunes to the key's single bucket before scanning
     * (znap Q1: restapi/DynamoDBEntityReader.scala:38-73 consistent getItem).
     */
-  def lookup(keyCol: String, key: String): DataFrame = {
+  def lookup(c: String, key: String): DataFrame = {
     val m = readManifest()
     // Compute the bucket with Spark's own hash to stay consistent with writes.
     val bucket = spark.range(1).select(
       pmod(hash(lit(key)), lit(numBuckets)).cast("int")).head().getInt(0)
-    val files = m.buckets.getOrElse(bucket, Nil).map(f => s"$root/$f")
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*).where(col(keyCol) === key)
+    val base = m.buckets.getOrElse(bucket, Nil)
+    val delta = m.deltas.getOrElse(bucket, Nil)
+    val files = (base ++ delta).map(f => s"$root/$f")
+    if (files.isEmpty) emptyDf(emptySchema).where(col(c) === key)
+    else if (delta.isEmpty)
+      spark.read.parquet(files: _*).drop("__seq").where(col(c) === key)
+    else resolve(spark.read.parquet(files: _*).where(col(c) === key))
   }
 
   def lineage(): DataFrame = {
     val m = readManifest()
     val files = m.lineageFiles.map(f => s"$root/$f")
-    if (files.isEmpty) spark.emptyDataFrame
+    if (files.isEmpty) emptyDf(Schemas.lineage)
     else spark.read.parquet(files: _*)
   }
 
   def signals(): DataFrame = {
     val m = readManifest()
     val files = m.signalFiles.map(f => s"$root/$f")
-    if (files.isEmpty) spark.emptyDataFrame
+    if (files.isEmpty) emptyDf(Schemas.signal)
     else spark.read.parquet(files: _*)
   }
 
@@ -132,60 +183,68 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int)(
   /** Idempotent keyed MERGE of `updates` (one row per key) guarded by
     * `batchId` (SURVEY.md §7.3):
     *  1. if manifest.lastBatchId >= batchId → duplicate delivery, skip;
-    *  2. rewrite only buckets containing updated keys: survivors
-    *     (anti-join on key) ∪ updates;
-    *  3. commit new manifest atomically — data visible iff commit wrote,
-    *     matching znap's data-before-offset ordering
-    *     (reference: pipeline/PipelineBuilder.scala:106-111).
+    *  2. append the batch as bucket-partitioned delta files — O(batch)
+    *     written, never O(table);
+    *  3. compact buckets whose delta count reached maxDeltasPerBucket
+    *     (resolve base ∪ deltas → new base for those buckets only);
+    *  4. commit the new manifest atomically — data visible iff commit
+    *     wrote, matching znap's data-before-offset ordering
+    *     (reference: pipeline/PipelineBuilder.scala:106-111);
+    *  5. vacuum files the live manifest no longer references.
+    * All versioned dirs are written with mode=overwrite: a crash after a
+    * partial write but before the manifest commit leaves orphan files that
+    * the checkpoint retry (same batchId) simply overwrites — without this
+    * the retry dies on ErrorIfExists and breaks crash-resume.
     * Returns true iff the batch was applied.
     */
-  def merge(updates: DataFrame, keyCol: String, batchId: Long,
+  def merge(updates: DataFrame, c: String, batchId: Long,
       lineageDf: Option[DataFrame] = None,
       signalsDf: Option[DataFrame] = None): Boolean = {
+    require(c == keyCol, s"merge key '$c' != table key '$keyCol'")
     val m = readManifest()
     if (m.lastBatchId >= batchId) return false // idempotent re-delivery
 
-    val withBucket = updates.withColumn("__bucket", bucketOf(keyCol))
-    // Affected-bucket set: tiny (≤ numBuckets) driver-side list — this is
-    // manifest metadata, not data.
-    val affected = withBucket.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-
     val version = s"v$batchId"
-    val outDir = s"$root/data/$version"
-
-    val oldFiles = affected.toSeq.sorted.flatMap(b =>
-      m.buckets.getOrElse(b, Nil).map(f => s"$root/$f"))
-    val merged =
-      if (oldFiles.isEmpty) withBucket
-      else {
-        val existing = spark.read.parquet(oldFiles: _*)
-          .withColumn("__bucket", bucketOf(keyCol))
-        existing.join(withBucket.select(col(keyCol)).distinct(),
-          Seq(keyCol), "left_anti")
-          .unionByName(withBucket)
-      }
-    merged
-      .repartition(math.max(affected.size, 1), col("__bucket"))
+    val deltaDir = s"$root/data/delta-$version"
+    updates
+      .withColumn("__seq", lit(batchId))
+      .withColumn("__bucket", bucketOf(keyCol))
+      .repartition(math.min(numBuckets, 32), col("__bucket"))
       .sortWithinPartitions(col(keyCol)) // deterministic file content order
-      .write.partitionBy("__bucket").parquet(outDir)
+      .write.mode("overwrite").partitionBy("__bucket").parquet(deltaDir)
 
-    // list written files per bucket
-    val newBuckets: Map[Int, Seq[String]] = affected.map { b =>
-      val dir = Paths.get(outDir, s"__bucket=$b")
-      val fs =
-        if (!Files.exists(dir)) Seq.empty[String]
-        else Files.list(dir).iterator().asScala
-          .filter(_.toString.endsWith(".parquet"))
-          .map(p => s"data/$version/__bucket=$b/${p.getFileName}")
-          .toSeq.sorted
-      b -> fs
-    }.toMap
+    val newDeltaFiles: Map[Int, Seq[String]] = listBucketFiles(deltaDir, s"data/delta-$version")
+    val deltas: Map[Int, Seq[String]] =
+      (m.deltas.keySet ++ newDeltaFiles.keySet).map { b =>
+        b -> (m.deltas.getOrElse(b, Nil) ++ newDeltaFiles.getOrElse(b, Nil))
+      }.toMap
+
+    // ---- compaction: buckets whose delta chain got long ----------------
+    val toCompact = deltas.filter(_._2.size >= maxDeltasPerBucket).keySet
+    val (buckets2, deltas2) =
+      if (toCompact.isEmpty) (m.buckets, deltas)
+      else {
+        val files = toCompact.toSeq.sorted.flatMap(b =>
+          (m.buckets.getOrElse(b, Nil) ++ deltas.getOrElse(b, Nil)).map(f => s"$root/$f"))
+        val baseDir = s"$root/data/base-$version"
+        resolve(spark.read.parquet(files: _*))
+          .withColumn("__seq", lit(batchId)) // compacted rows re-stamped; deltas are newer by construction
+          .withColumn("__bucket", bucketOf(keyCol))
+          .repartition(math.max(toCompact.size, 1), col("__bucket"))
+          .sortWithinPartitions(col(keyCol))
+          .write.mode("overwrite").partitionBy("__bucket").parquet(baseDir)
+        val newBase = listBucketFiles(baseDir, s"data/base-$version")
+        val b2 = m.buckets.filter { case (b, _) => !toCompact.contains(b) } ++ newBase
+        val d2 = deltas.map { case (b, fs) =>
+          b -> (if (toCompact.contains(b)) Seq.empty[String] else fs)
+        }
+        (b2, d2)
+      }
 
     var lineageFiles = m.lineageFiles
     lineageDf.foreach { ldf =>
       val ldir = s"$root/lineage/$version"
-      ldf.coalesce(1).write.parquet(ldir)
+      ldf.coalesce(1).write.mode("overwrite").parquet(ldir)
       lineageFiles = lineageFiles ++ listParquet(ldir, s"lineage/$version")
     }
     var signalFiles = m.signalFiles
@@ -194,20 +253,88 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int)(
       // NO coalesce: signals carry one row per changed key — at scale this
       // is millions of rows per batch and must write with full task
       // parallelism (a coalesce(1) here was a 35s/run serial bottleneck).
-      sdf.write.parquet(sdir)
+      sdf.write.mode("overwrite").parquet(sdir)
       signalFiles = signalFiles ++ listParquet(sdir, s"signals/$version")
     }
 
-    val kept = m.buckets.filter { case (b, _) => !affected.contains(b) }
-    commitManifest(Manifest(batchId, kept ++ newBuckets, lineageFiles, signalFiles))
+    commitManifest(Manifest(batchId, buckets2, deltas2, lineageFiles, signalFiles))
+    if (autoVacuum) vacuum()
     true
+  }
+
+  /** Delete data files the committed manifest no longer references (plus
+    * stranded manifest.tmp.* from crashed commits) and prune empty dirs.
+    * Lineage/signal files are append-only and never superseded, so only
+    * `data/` is swept. Safe post-commit: anything removed is invisible to
+    * any reader that starts from the current manifest.
+    */
+  def vacuum(): Unit = {
+    val m = readManifest()
+    val live: Set[Path] =
+      m.dataFiles.map(f => Paths.get(root, f).toAbsolutePath.normalize).toSet
+    val dataRoot = Paths.get(root, "data")
+    if (Files.exists(dataRoot)) {
+      val walk = Files.walk(dataRoot)
+      try {
+        walk.iterator().asScala.toSeq.reverse.foreach { p =>
+          if (Files.isRegularFile(p)) {
+            if (!live.contains(p.toAbsolutePath.normalize)) Files.delete(p)
+          } else if (Files.isDirectory(p) && p != dataRoot) {
+            val ls = Files.list(p)
+            val empty = try !ls.iterator().hasNext finally ls.close()
+            if (empty) Files.delete(p)
+          }
+        }
+      } finally walk.close()
+    }
+    val rootLs = Files.list(Paths.get(root))
+    try rootLs.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("manifest.tmp."))
+      .toSeq.foreach(Files.delete)
+    finally rootLs.close()
+  }
+
+  /** Live file count by kind — compaction/vacuum observability for tests. */
+  def fileStats(): (Int, Int) = {
+    val m = readManifest()
+    (m.buckets.values.map(_.size).sum, m.deltas.values.map(_.size).sum)
+  }
+
+  /** data/ files on disk (vacuum effectiveness check). */
+  def dataFilesOnDisk(): Int = {
+    val walk = Files.walk(Paths.get(root, "data"))
+    try walk.iterator().asScala.count(p =>
+      Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+    finally walk.close()
+  }
+
+  /** Files of a partitionBy("__bucket") output dir, keyed by bucket id. */
+  private def listBucketFiles(absDir: String, relDir: String): Map[Int, Seq[String]] = {
+    val dir = Paths.get(absDir)
+    if (!Files.exists(dir)) Map.empty
+    else {
+      val ls = Files.list(dir)
+      val bucketDirs = try ls.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("__bucket="))
+        .toSeq
+      finally ls.close()
+      bucketDirs.map { bd =>
+        val b = bd.getFileName.toString.stripPrefix("__bucket=").toInt
+        b -> listParquet(bd.toString, s"$relDir/__bucket=$b")
+      }.filter(_._2.nonEmpty).toMap
+    }
   }
 
   private def listParquet(absDir: String, relDir: String): Seq[String] = {
     val dir = Paths.get(absDir)
     if (!Files.exists(dir)) Nil
-    else Files.list(dir).iterator().asScala
-      .filter(_.toString.endsWith(".parquet"))
-      .map(p => s"$relDir/${p.getFileName}").toSeq.sorted
+    else {
+      val ls = Files.list(dir)
+      try ls.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => s"$relDir/${p.getFileName}").toSeq.sorted
+      finally ls.close()
+    }
   }
 }

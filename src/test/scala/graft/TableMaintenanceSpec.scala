@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GzipCodec
+import graft.model.{ConvSnapshot, Turn}
+import graft.sink.MergeSink
+import graft.snapshot.SnapshotFold
+import graft.store.IcebergLikeTable
+
+/** Merge-on-read mechanics of the IcebergLikeTable: O(batch) delta
+  * appends, threshold compaction, vacuum GC, crash-retry overwrite
+  * semantics, schema-stable empty reads — the storage half of the
+  * exactly-once contract (SURVEY.md §7.3; VERDICT r1 findings #2/#4).
+  */
+class TableMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val s: org.apache.spark.sql.SparkSession = spark
+
+  private def snap(id: String, idx: Int): ConvSnapshot =
+    ConvSnapshot(id, idx, "user", "", s"text-$idx", idx + 1L, Map.empty,
+      new java.sql.Timestamp(0L), new java.sql.Timestamp(idx * 1000L))
+
+  private def mergeBatch(table: IcebergLikeTable, batchId: Long,
+      rows: Seq[ConvSnapshot]): Boolean =
+    table.merge(spark.createDataset(rows).toDF(), "conv_id", batchId)
+
+  test("merge appends deltas; compaction bounds the delta chain; read resolves last-writer-wins") {
+    val table = new IcebergLikeTable(tmpDir("mor") + "/t", numBuckets = 4,
+      maxDeltasPerBucket = 3)
+    // 10 batches all touching the same keys: rewrite-on-merge would write
+    // the full table 10 times; merge-on-read appends 10 deltas and
+    // compacts every 3rd.
+    val keys = (0 until 16).map(i => s"conv-$i")
+    (0 until 10).foreach { b =>
+      assert(mergeBatch(table, b.toLong, keys.map(k => snap(k, b))))
+    }
+    val (_, deltaCount) = table.fileStats()
+    assert(deltaCount <= 4 * (table.maxDeltasPerBucket - 1),
+      s"delta chains unbounded: $deltaCount live delta files")
+    // last writer wins: every key shows batch 9's state
+    val got = table.read().as[ConvSnapshot].collect()
+    assert(got.length === keys.length)
+    assert(got.forall(_.last_turn_idx === 9))
+    assert(got.forall(_.turn_count === 10L))
+  }
+
+  test("vacuum deletes superseded files: disk matches the live manifest") {
+    val table = new IcebergLikeTable(tmpDir("vac") + "/t", numBuckets = 4,
+      maxDeltasPerBucket = 2)
+    val keys = (0 until 8).map(i => s"c$i")
+    (0 until 8).foreach(b => mergeBatch(table, b.toLong, keys.map(k => snap(k, b))))
+    val (base, delta) = table.fileStats()
+    assert(table.dataFilesOnDisk() === base + delta,
+      "disk holds parquet files the manifest no longer references")
+  }
+
+  test("a batch retry after a partial write succeeds (overwrite, not ErrorIfExists)") {
+    val dir = tmpDir("retry") + "/t"
+    val table = new IcebergLikeTable(dir, numBuckets = 4)
+    assert(mergeBatch(table, 0L, Seq(snap("a", 0), snap("b", 0))))
+    // simulate a crash mid-batch-1: partial delta dir exists, no commit
+    val stranded = java.nio.file.Paths.get(dir, "data", "delta-v1", "__bucket=0")
+    java.nio.file.Files.createDirectories(stranded)
+    java.nio.file.Files.writeString(stranded.resolve("part-junk.parquet"), "junk")
+    // the checkpoint re-delivers batch 1 — must overwrite, apply, stay correct
+    assert(mergeBatch(table, 1L, Seq(snap("a", 1))))
+    val got = table.read().as[ConvSnapshot].collect().map(x => x.conv_id -> x.last_turn_idx).toMap
+    assert(got === Map("a" -> 1, "b" -> 0))
+  }
+
+  test("empty table reads are schema-stable (dump on empty table = zero rows)") {
+    val table = new IcebergLikeTable(tmpDir("empty") + "/t", numBuckets = 4)
+    assert(graft.replay.Replay.dump(table).count() === 0L)
+    assert(table.lookup("conv_id", "nope").count() === 0L)
+    assert(table.lineage().count() === 0L)
+    assert(table.signals().count() === 0L)
+    assert(table.read().schema.fieldNames.contains("last_turn_idx"))
+  }
+
+  test("events-compressed signal payload is recoverable; unknown publishType throws") {
+    val updates = spark.createDataset(Seq(snap("c-1", 3))).toDF()
+    val sig = MergeSink.signalsOf(updates, 0L, "events-compressed").collect().head
+    val recovered = GzipCodec.decompress(
+      java.util.Base64.getDecoder.decode(sig.getAs[String]("payload")))
+    assert(recovered.contains("\"conv_id\":\"c-1\"") && recovered.contains("\"last_turn_idx\":3"))
+    intercept[IllegalArgumentException] {
+      MergeSink.signalsOf(updates, 0L, "carrier-pigeon")
+    }
+  }
+
+  test("gzip codec round-trips arbitrary strings, including empty and unicode") {
+    val cases = Seq("", "a", "hello world", "züricher straße 😀",
+      "x" * 10000, (0 until 256).map(_.toChar).mkString)
+    cases.foreach { c =>
+      assert(GzipCodec.decompress(GzipCodec.compress(c)) === c)
+    }
+    // column form round-trips through Spark
+    val df = Seq("payload-1", "påyload-2").toDF("v")
+      .select(GzipCodec.gunzipB64(GzipCodec.gzipB64(col("v"))).as("rt"), col("v"))
+    assert(df.filter(col("rt") =!= col("v")).count() === 0L)
+  }
+}
