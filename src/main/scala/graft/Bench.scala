@@ -41,7 +41,10 @@ object Bench {
     * file-stream in `batches` micro-batches → fMGWS fold → MERGE.
     * Returns wall seconds.
     */
-  def streamBuild(spark: SparkSession, turnsDir: String, files: Int): Double = {
+  /** Returns (wall seconds, listener-observed rows/sec) — the O2 metrics
+    * path measured on every bench run, not just in tests.
+    */
+  def streamBuild(spark: SparkSession, turnsDir: String, files: Int): (Double, Double) = {
     import spark.implicits._
     implicit val s: SparkSession = spark
     val tmp = Files.createTempDirectory("graft-bench-table").toString
@@ -49,12 +52,14 @@ object Bench {
       .option("maxFilesPerTrigger", math.max(files / 8, 1).toString)
       .parquet(turnsDir).as[Turn]
     val table = new IcebergLikeTable(s"$tmp/table", 64)
-    val (_, secs) = time {
+    val metrics = new graft.ops.MetricsListener
+    spark.streams.addListener(metrics)
+    val (_, secs) = try time {
       val q = Replay.fromCheckpoint(stream, table, s"$tmp/ckpt", watermark = "3650 days")
       q.processAllAvailable()
       q.stop()
-    }
-    secs
+    } finally spark.streams.removeListener(metrics)
+    (secs, metrics.throughput)
   }
 
   /** Streaming fold WITHOUT the merge sink (noop foreachBatch) — isolates
@@ -119,7 +124,7 @@ object Bench {
       SnapshotFold.batchSnapshots(spark.read.parquet(turnsDir))
         .write.mode("overwrite").format("noop").save()
     }
-    val streamS = streamBuild(spark, turnsDir, files)
+    val (streamS, streamListenerRps) = streamBuild(spark, turnsDir, files)
     val midTs = new java.sql.Timestamp(
       Synthetic.BaseEpochMs + 12 * 3600 * 1000L)
     val (_, replayS) = time {
@@ -135,6 +140,7 @@ object Bench {
       s""""synthetic":{"turns":$rows,"batch_fold_sec":$batchFoldS,""" +
         s""""batch_fold_turns_per_sec":${rows / batchFoldS},""" +
         s""""stream_build_sec":$streamS,"stream_turns_per_sec":${rows / streamS},""" +
+        s""""stream_rows_per_sec_listener":$streamListenerRps,""" +
         s""""replay_to_ts_sec":$replayS,"replay_turns_per_sec":${rows / replayS},""" +
         s""""cpus":$cpus}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")

@@ -98,7 +98,7 @@ object ScalingBench {
       "stream_fold" -> (() => (1 to reps).map(_ =>
         Bench.streamFoldOnly(spark, SharedInput, files = 256)).min),
       "stream_build" -> (() => (1 to reps).map(_ =>
-        Bench.streamBuild(spark, SharedInput, files = 256)).min))
+        Bench.streamBuild(spark, SharedInput, files = 256)._1).min))
     val results = all.filter(w => want(w._1)).map { case (k, f) => k -> f() }
 
     results.foreach { case (k, sec) =>

@@ -41,6 +41,9 @@ object SparkEntry {
     "s1_stream_snapshot" -> (StreamQueries.s1StreamSnapshot _),
     "o1_lineage" -> (StreamQueries.o1Lineage _),
     "h1_lag" -> (StreamQueries.h1Lag _),
+    // G1 streaming form: one source, two filtered targets, independent
+    // tables + checkpoints (reference PipelineBuilder.scala:154-184)
+    "g1_stream_fanout" -> (StreamQueries.g1StreamFanout _),
     "s2_json_decode" -> (SnapshotQueries.s2JsonDecode _),
     "agg_typed_fold" -> (StreamQueries.aggTypedFold _),
     "rollup_agg" -> (RelationalQueries.rollupAgg _),
@@ -110,6 +113,7 @@ object SparkEntry {
     "w3_session" -> WindowQueries.w3SessionSql,
     "w4_tool_usage" -> WindowQueries.w4ToolUsageSql,
     "s1_stream_snapshot" -> StreamQueries.s1StreamSnapshotSql,
+    "g1_stream_fanout" -> StreamQueries.g1StreamFanoutSql,
     "s2_json_decode" -> SnapshotQueries.s2JsonDecodeSql,
     "agg_typed_fold" -> StreamQueries.s1StreamSnapshotSql, // same semantics, same oracle
     "rollup_agg" -> RelationalQueries.rollupAggSql,

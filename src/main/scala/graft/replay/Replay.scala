@@ -22,7 +22,73 @@ import graft.store.IcebergLikeTable
   *  3. [[dump]] — full key-set scan of the snapshot table with projection
   *     pushdown (znap D1, SnapshotService.scala:90-99).
   */
+/** Requested replay point lies outside the available/committed window —
+  * the fail-fast the reference throws when a stored offset falls outside
+  * a partition's retention range
+  * (reference: source/nakadi/NakadiPublisher.scala:89-100,188-205).
+  */
+final class InvalidOffsetException(msg: String) extends RuntimeException(msg)
+
 object Replay {
+
+  /** S4 validity check #1 — replay-from-offset: the requested batch must
+    * be one the lineage table committed (znap validates the stored offset
+    * against [oldestAvailable, newestAvailable] and fails fast with
+    * InvalidOffsetException, NakadiPublisher.scala:89-100). Resuming from
+    * an unknown batch would silently rebuild from the wrong state.
+    */
+  def validateReplayBatch(table: IcebergLikeTable, requestedBatchId: Long): Unit = {
+    val range = table.lineage().agg(
+      min(col("batch_id")).as("lo"), max(col("batch_id")).as("hi")).head()
+    if (range.isNullAt(0))
+      throw new InvalidOffsetException(
+        s"replay from batch $requestedBatchId: lineage is empty (nothing committed)")
+    val (lo, hi) = (range.getLong(0), range.getLong(1))
+    if (requestedBatchId < lo || requestedBatchId > hi)
+      throw new InvalidOffsetException(
+        s"replay from batch $requestedBatchId outside committed window [$lo, $hi]")
+  }
+
+  /** S4 validity check #2 — resume gap detection: before resuming a fold
+    * against a retention-limited source, the oldest still-available turn
+    * must not postdate the newest committed state by more than the
+    * watermark — otherwise events expired unconsumed and the snapshot
+    * would silently miss them (znap: ProgressChecker.scala:134-135 errors
+    * when the stored offset leaves the retention window).
+    */
+  def validateResume(table: IcebergLikeTable, source: DataFrame,
+      maxGapMs: Long = 0L): Unit = {
+    val committed = table.lineage().agg(max(col("committed_ts"))).head()
+    if (committed.isNullAt(0)) return // fresh table: BEGIN is always valid
+    val oldestAvailable = source.agg(min(col("ts"))).head().getTimestamp(0)
+    val committedTs = committed.getTimestamp(0)
+    if (oldestAvailable.getTime - committedTs.getTime > maxGapMs)
+      throw new InvalidOffsetException(
+        s"resume gap: committed through $committedTs but oldest available " +
+          s"turn is $oldestAvailable — events expired unconsumed")
+  }
+
+  /** S5 — restart-with-budget around a live streaming query (znap's
+    * PipelineManager restart policy, reference
+    * pipeline/PipelineManager.scala:63-103: restart on failure, rereading
+    * offsets from the store, crash when the error budget is exceeded).
+    * `start` must build a NEW query against the SAME checkpoint each
+    * attempt — recovery re-reads the offset log, exactly like znap
+    * rereads the offset table on restart.
+    */
+  def runSupervised(budget: graft.ops.ErrorBudget, clock: () => Long)(
+      start: () => StreamingQuery): Either[Throwable, Unit] =
+    graft.ops.Supervised.run(budget, clock) { () =>
+      val q = start()
+      try {
+        q.processAllAvailable()
+        q.stop()
+      } catch {
+        case e: Throwable =>
+          try q.stop() catch { case _: Throwable => () }
+          throw e
+      }
+    }
 
   /** Start (or resume) the snapshot pipeline against `checkpointDir`.
     * Re-running after a stop/crash resumes from the last committed batch;
