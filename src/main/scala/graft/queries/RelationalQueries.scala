@@ -178,13 +178,28 @@ object RelationalQueries {
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
        FROM events GROUP BY ROLLUP(event_type, user_id)"""
 
-  /** Approximate distinct (HLL sketch) vs exact — rows-only check (sketch
-    * estimates are engine-specific); the ApproxSpec test bounds the error.
+  /** Approximate distinct (HLL sketch) vs exact. The raw estimate is
+    * engine-specific, so the ORACLED surface is the error bound itself:
+    * `within_5pct` must be true for every group (oracle emits literal
+    * TRUE), which machine-checks the sketch's accuracy claim instead of
+    * leaving the query rows-only.
     */
-  def approxDistinct(s: SparkSession, d: String): DataFrame =
+  def approxDistinctFull(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).groupBy(col("event_type")).agg(
       approx_count_distinct(col("user_id")).as("approx_users"),
       countDistinct(col("user_id")).as("exact_users"))
+
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    approxDistinctFull(s, d).select(
+      col("event_type"),
+      col("exact_users"),
+      (abs(col("approx_users") - col("exact_users")).cast("double")
+        <= col("exact_users").cast("double") * 0.05).as("within_5pct"))
+
+  val approxDistinctSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_5pct
+       FROM events GROUP BY event_type"""
 
   /** Window functions (SURVEY.md §2.2): running state before each event —
     * the batch oracle of the streaming state-join (StateJoin.enriched):

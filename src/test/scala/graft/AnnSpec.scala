@@ -44,7 +44,7 @@ class AnnSpec extends SparkSpec {
     val e = Tables.embeddings(spark, dir)
     val exact = Ann.bruteForceTopK(e, 0L, 1000)
       .select($"vec_id", $"cos").as[(Long, Double)].collect().toMap
-    val lsh = Ann.lshTopK(e, 0L, 10, dim = 64, nPlanes = 4)
+    val lsh = Ann.lshTopK(e, 0L, 10)
       .select($"vec_id", $"cos").as[(Long, Double)].collect()
     assert(lsh.nonEmpty)
     lsh.foreach { case (id, cos) =>
@@ -53,13 +53,54 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("multi-band OR-amplification dominates single-band recall") {
+    // Uniformly random embeddings have no true near neighbors, so absolute
+    // recall is capped by geometry (P(candidate) = 1-(1-(1-θ/π)^r)^b with
+    // θ≈60°); the DETERMINISTIC property is dominance: a multi-band
+    // candidate set is a superset of its first band's, and exact rescoring
+    // means every true-top-10 member among candidates reaches the output.
+    def recall(bands: Int): Double = {
+      val e = Tables.embeddings(spark, dir)
+      val exactTop = Ann.bruteForceTopK(e, 0L, 10)
+        .select($"vec_id").as[Long].collect().toSet
+      val lshTop = Ann.lshTopK(e, 0L, 10, bands = bands, planesPerBand = 4)
+        .select($"vec_id").as[Long].collect().toSet
+      (exactTop & lshTop).size.toDouble / exactTop.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1, s"banding lost recall: 1 band=$r1, 4 bands=$r4")
+    assert(r4 >= 0.3, s"multi-band recall collapsed: $r4")
+  }
+
+  test("BandSig expression matches a per-plane column-API recomputation") {
+    import graft.functions.BandSig
+    val e = Tables.embeddings(spark, dir).limit(50)
+    // recompute band 0's bucket with plain column ops (the formulation the
+    // expression replaces) and compare
+    val naive = (0 until 4).map { p =>
+      val dot = (0 until 64).map { i =>
+        element_at($"embedding", i + 1).cast("double") * lit(Ann.planeVal(p, i))
+      }.reduce(_ + _)
+      when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val both = e.select(
+      element_at(BandSig($"embedding", 4, 4), 1).as("expr_b0"),
+      naive.as("naive_b0"))
+    assert(both.filter($"expr_b0" =!= $"naive_b0").count() === 0L)
+  }
+
   test("approx_count_distinct within 5% of exact") {
-    val rows = RelationalQueries.approxDistinct(spark, dir)
+    val rows = RelationalQueries.approxDistinctFull(spark, dir)
       .select($"approx_users", $"exact_users").as[(Long, Long)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (approx, exact) =>
       assert(math.abs(approx - exact).toDouble / exact <= 0.05,
         s"HLL error too large: $approx vs $exact")
     }
+    // the oracled projection must report the bound as met
+    val bad = RelationalQueries.approxDistinct(spark, dir)
+      .filter(!$"within_5pct").count()
+    assert(bad === 0L)
   }
 }

@@ -64,7 +64,7 @@ class PlanSpec extends SparkSpec {
     val plans = Seq(
       "ann_bruteforce" -> graft.ann.Ann.bruteForceTopK(emb, 0L, 10),
       "ann_expr" -> graft.ann.Ann.bruteForceTopKExpr(emb, 0L, 10),
-      "ann_lsh" -> graft.ann.Ann.lshTopK(emb, 0L, 10, dim = 64, nPlanes = 4),
+      "ann_lsh" -> graft.ann.Ann.lshTopK(emb, 0L, 10),
       "topk_hot_keys" -> RelationalQueries.topkHotKeys(spark, dir))
     plans.foreach { case (name, df) =>
       val p = planOf(df)
