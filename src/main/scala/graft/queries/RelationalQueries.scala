@@ -232,10 +232,16 @@ object RelationalQueries {
     Tables.documents(s, d).select(
       col("doc_id"),
       base64(substring(col("text"), 1, 48).cast("binary")).as("payload_b64"),
-      octet_length(col("text")).cast("long").as("payload_bytes"))
+      octet_length(col("text")).cast("long").as("payload_bytes"),
+      // the gzip value codec (reference utils/Compressor.scala:16-42) must
+      // round-trip every document — oracled as a boolean against TRUE
+      (graft.functions.GzipCodec.gunzipB64(
+        graft.functions.GzipCodec.gzipB64(col("text"))) === col("text"))
+        .as("gzip_roundtrip_ok"))
 
   val a2EncodeSql: String =
     """SELECT doc_id, to_base64(encode(substr(text, 1, 48))) AS payload_b64,
-       octet_length(encode(text)) AS payload_bytes
+       octet_length(encode(text)) AS payload_bytes,
+       TRUE AS gzip_roundtrip_ok
        FROM documents"""
 }
