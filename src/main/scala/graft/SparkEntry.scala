@@ -52,6 +52,11 @@ object SparkEntry {
       Tables.embeddings(s, d), queryId = 0L, k = 10)),
     // relational surface (SURVEY.md §2.2)
     "wf_running_state" -> (RelationalQueries.wfRunningState _),
+    "wf_rank_funcs" -> (RelationalQueries.wfRankFuncs _),
+    // IVF ANN (deterministic coarse centroids → probed inverted lists)
+    "ann_ivf" -> ((s, d) => graft.ann.Ann.ivfTopK(
+      Tables.embeddings(s, d), queryId = 0L, k = 10,
+      numCentroids = 16, nProbe = 4)),
     "j1_join_broadcast" -> (RelationalQueries.j1JoinBroadcast _),
     "j2_join_shuffle" -> (RelationalQueries.j2JoinShuffle _),
     "q1_agg" -> (RelationalQueries.q1Agg _),
@@ -131,6 +136,9 @@ object SparkEntry {
     "rollup_agg" -> RelationalQueries.rollupAggSql,
     "ann_expr" -> annBruteforceSql,
     "wf_running_state" -> RelationalQueries.wfRunningStateSql,
+    "wf_rank_funcs" -> RelationalQueries.wfRankFuncsSql,
+    "ann_ivf" -> graft.ann.Ann.ivfTopKSql(queryId = 0L, k = 10,
+      numCentroids = 16, nProbe = 4),
     "j1_join_broadcast" -> RelationalQueries.j1JoinBroadcastSql,
     "j2_join_shuffle" -> RelationalQueries.j2JoinShuffleSql,
     "q1_agg" -> RelationalQueries.q1AggSql,

@@ -141,6 +141,90 @@ object Ann {
        WHERE rk <= $k"""
   }
 
+  /** IVF (inverted-file) ANN — the second scale path next to LSH: assign
+    * every vector to its nearest of C coarse centroids (the inverted
+    * lists), probe only the nProbe centroids nearest the query, rescore
+    * exactly inside the probed lists.
+    *
+    * Centroids here are the first C corpus vectors — deterministic, so
+    * the DuckDB oracle reproduces the index bit-for-bit. A production
+    * index would k-means them; the IVF *structure* (assignment, inverted
+    * lists, probe set, rescoring) is identical and is what this operator
+    * exercises.
+    *
+    * Scale shape: assignment is one narrow stage (N×C fused cosine_sim
+    * rows, map-side-combined argmax — no shuffle of embeddings beyond the
+    * per-vector reduction); at rest the lists would be written bucketed by
+    * cluster so a query scans nProbe/C of the data. The query side is all
+    * broadcast joins; top-k is TakeOrderedAndProject.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
+      numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_sim
+    val cents = emb.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cluster"), col("embedding").as("c_emb"))
+    // inverted-list assignment: argmax cosine over centroids, ties → the
+    // smallest cluster id (max_by on (cos, -cluster))
+    val assigned = emb
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+        cosine_sim(col("embedding"), col("c_emb")).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(struct(col("cluster"), col("embedding")),
+          struct(col("ccos"), -col("cluster"))).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.embedding").as("embedding"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    // probe set: the nProbe centroids nearest the query
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("cluster"), cosine_sim(col("c_emb"), col("q_emb")).as("qcos"))
+      .orderBy(col("qcos").desc, col("cluster").asc)
+      .limit(nProbe)
+      .select(col("cluster"))
+    val scored = assigned
+      .join(broadcast(probed), "cluster")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosine_sim(col("embedding"), col("q_emb")).as("cos"))
+    rankedTopK(scored, k)
+  }
+
+  /** DuckDB oracle for [[ivfTopK]] — same deterministic index. */
+  def ivfTopKSql(queryId: Long, k: Int, numCentroids: Int, nProbe: Int): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       c AS (SELECT vec_id AS cluster, emb AS cemb FROM e WHERE vec_id < $numCentroids),
+       q AS (SELECT emb AS qe FROM e WHERE vec_id = $queryId),
+       asg AS (SELECT vec_id, cluster, emb FROM (
+                 SELECT e.vec_id, c.cluster, e.emb,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.emb, c.cemb) /
+                       (sqrt(list_dot_product(e.emb, e.emb)) *
+                        sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+                     c.cluster ASC) AS rn
+                 FROM e, c) WHERE rn = 1),
+       probed AS (SELECT cluster FROM (
+                    SELECT c.cluster,
+                      row_number() OVER (ORDER BY
+                        list_dot_product(c.cemb, q.qe) /
+                          (sqrt(list_dot_product(c.cemb, c.cemb)) *
+                           sqrt(list_dot_product(q.qe, q.qe))) DESC,
+                        c.cluster ASC) AS rn
+                    FROM c, q) WHERE rn <= $nProbe),
+       scored AS (SELECT a.vec_id,
+                    list_dot_product(a.emb, q.qe) /
+                      (sqrt(list_dot_product(a.emb, a.emb)) *
+                       sqrt(list_dot_product(q.qe, q.qe))) AS cos
+                  FROM asg a JOIN probed p ON a.cluster = p.cluster, q
+                  WHERE a.vec_id <> $queryId)
+       SELECT vec_id, rk, cos FROM (
+         SELECT vec_id, cos,
+           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rk
+         FROM scored)
+       WHERE rk <= $k"""
+
   /** Embedding-cosine near-duplicate pairs within an id range: exact
     * pairwise scoring (bounded candidate set; the LSH bucket join is the
     * 100-TB candidate generator).

@@ -224,6 +224,36 @@ object RelationalQueries {
          AS prev_event_type
        FROM events"""
 
+  /** Window-function breadth (SURVEY.md §2.2): rank / dense_rank / lead /
+    * rolling-frame sum over the per-key event order — the full ranking +
+    * framed-aggregate surface beyond wf_running_state's row_number/lag.
+    * One shuffle on user_id; all functions share the same window sort.
+    */
+  def wfRankFuncs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRoll = w.rowsBetween(-2, 0)
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      rank().over(w).cast("long").as("rk"),
+      dense_rank().over(
+        Window.partitionBy(col("user_id")).orderBy(col("event_type")))
+        .cast("long").as("type_drk"),
+      coalesce(lead(col("event_id"), 1).over(w), lit(-1L)).as("next_event_id"),
+      sum(col("value").cast("decimal(18,2)")).over(wRoll)
+        .cast("double").as("roll3_sum"))
+  }
+
+  val wfRankFuncsSql: String =
+    """SELECT event_id, user_id,
+       rank() OVER w AS rk,
+       dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS type_drk,
+       coalesce(lead(event_id, 1) OVER w, -1) AS next_event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll3_sum
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
   /** A2-analog — value encoding at rest (reference gzip+base64:
     * utils/Compressor.scala:16-42). Parquet codecs handle compression in our
     * engine; the explicit base64 codec is exposed for dump/signal parity.

@@ -4,7 +4,6 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.collection.immutable.ListMap
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.model.Schemas
@@ -125,13 +124,16 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
 
   /** Last-writer-wins resolution over base ∪ delta rows: the row with the
     * greatest `__seq` per key survives. Skipped entirely when a bucket has
-    * no deltas (base already holds one row per key).
+    * no deltas (base already holds one row per key). Expressed as
+    * `max_by(struct(payload), __seq)` — a hash aggregation with map-side
+    * partial combine, so per-key data crossing the resolution shuffle is
+    * O(distinct keys); a window formulation would sort whole partitions.
     */
   private def resolve(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__seq").desc)
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .drop("__rk", "__seq")
+    val payload = df.columns.filter(c => c != keyCol && c != "__seq")
+    df.groupBy(col(keyCol))
+      .agg(max_by(struct(payload.map(col): _*), col("__seq")).as("__r"))
+      .select(col(keyCol) +: payload.map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** Snapshot-consistent read: only files the manifest lists. Returns a

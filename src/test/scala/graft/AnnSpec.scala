@@ -90,6 +90,26 @@ class AnnSpec extends SparkSpec {
     assert(both.filter($"expr_b0" =!= $"naive_b0").count() === 0L)
   }
 
+  test("IVF: probing all lists equals brute force; partial probes are true neighbors") {
+    val e = Tables.embeddings(spark, dir)
+    val exactTop = Ann.bruteForceTopK(e, 0L, 10)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect()
+    // nProbe = numCentroids → every inverted list scanned → exact result
+    val full = Ann.ivfTopK(e, 0L, 10, numCentroids = 16, nProbe = 16)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect()
+    assert(full.toSeq === exactTop.toSeq)
+    // partial probe: every returned neighbor is real with its exact score
+    val exactAll = Ann.bruteForceTopK(e, 0L, 1000)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect().toMap
+    val part = Ann.ivfTopK(e, 0L, 10, numCentroids = 16, nProbe = 4)
+      .select($"vec_id", $"cos").as[(Long, Double)].collect()
+    assert(part.nonEmpty)
+    part.foreach { case (id, cos) =>
+      assert(exactAll.contains(id) && exactAll(id) === cos,
+        s"IVF score for $id diverges from exact")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val rows = RelationalQueries.approxDistinctFull(spark, dir)
       .select($"approx_users", $"exact_users").as[(Long, Long)].collect()
