@@ -80,6 +80,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("same-bucketed tables join with ZERO exchanges (co-located SortMergeJoin)") {
+    import graft.store.BucketedTables
+    val ev = Tables.events(spark, dir)
+    BucketedTables.writeBucketed(
+      ev.select("user_id", "event_id", "event_type"), "bk_events", 8, "user_id")
+    BucketedTables.writeBucketed(
+      ev.groupBy(org.apache.spark.sql.functions.col("user_id"))
+        .count(), "bk_counts", 8, "user_id")
+    // force the non-broadcast path (at sf0.001 both sides fit under the
+    // broadcast threshold; at 100 TB neither would)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = BucketedTables.colocatedJoin(spark, "bk_events", "bk_counts", "user_id")
+      joined.collect() // finalize AQE plan
+      val p = planOf(joined)
+      assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("point lookup prunes with an IsNotNull+EqualTo pushed filter") {
     val p = planOf(SnapshotQueries.q1PointLookup(spark, dir))
     assert(p.contains("EqualTo(user_id,7)"), s"lookup filter not pushed:\n$p")

@@ -9,14 +9,33 @@ export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-40g}"
 export SPARK_GRAFT_TURNS="$TURNS"
 
 ROUNDS="${SPARK_GRAFT_ROUNDS:-3}"
+RAWLOG="${SPARK_GRAFT_RAWLOG:-/tmp/scaling_raw.log}"
 sbt -batch "runMain graft.GenTurns" 2>&1 | grep -E "wrote|exists" || true
-: > /tmp/scaling_lo.jsonl; : > /tmp/scaling_hi.jsonl
+: > /tmp/scaling_lo.jsonl; : > /tmp/scaling_hi.jsonl; : > "$RAWLOG"
 # interleave fresh-JVM runs of both configs to cancel host-noise windows;
-# per-config best-of-ROUNDS taken below
+# per-config best-of-ROUNDS taken below. Full sbt output is preserved in
+# $RAWLOG (a failed JVM must be diagnosable, and one bad round must not
+# kill the whole run — later rounds still contribute their best).
+run_one() { # cores
+  sbt -batch "runMain graft.ScalingBench $1" >> "$RAWLOG" 2>&1 \
+    || echo "ROUND FAILED cores=$1 (see $RAWLOG)" >&2
+}
 for i in $(seq "$ROUNDS"); do
-  sbt -batch "runMain graft.ScalingBench $LO" 2>&1 | grep -oE '\{"workload".*\}' >> /tmp/scaling_lo.jsonl
-  sbt -batch "runMain graft.ScalingBench $HI" 2>&1 | grep -oE '\{"workload".*\}' >> /tmp/scaling_hi.jsonl
+  run_one "$LO"
+  run_one "$HI"
 done
+# split the raw stream back into lo/hi by the "cores" field
+python3 - "$LO" "$HI" "$RAWLOG" <<'EOF'
+import json, re, sys
+lo_n, hi_n, raw = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+lo, hi = open("/tmp/scaling_lo.jsonl", "w"), open("/tmp/scaling_hi.jsonl", "w")
+for line in open(raw, errors="replace"):
+    m = re.search(r'\{"workload".*\}', line)
+    if not m: continue
+    r = json.loads(m.group(0))
+    (lo if r["cores"] == lo_n else hi).write(m.group(0) + "\n")
+lo.close(); hi.close()
+EOF
 
 python3 - "$LO" "$HI" <<'EOF'
 import json, sys
