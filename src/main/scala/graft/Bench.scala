@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.gen.Synthetic
@@ -23,6 +24,20 @@ object Bench {
     val t0 = System.nanoTime()
     val a = body
     (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Delete a temp dir tree after a measurement — a best-of-N bench that
+    * leaks ~1 GB of table+checkpoint per rep fills the disk and the later
+    * reps measure a 90%-full filesystem (observed: ENOSPC aborts and
+    * inflated write times).
+    */
+  def rmrf(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
   }
 
   /** Generate the synthetic turn log once as parquet (not timed into the
@@ -58,7 +73,10 @@ object Bench {
       val q = Replay.fromCheckpoint(stream, table, s"$tmp/ckpt", watermark = "3650 days")
       q.processAllAvailable()
       q.stop()
-    } finally spark.streams.removeListener(metrics)
+    } finally {
+      spark.streams.removeListener(metrics)
+      rmrf(tmp)
+    }
     (secs, metrics.throughput)
   }
 
@@ -71,7 +89,7 @@ object Bench {
     val stream = spark.readStream.schema(Schemas.turn)
       .option("maxFilesPerTrigger", math.max(files / 8, 1).toString)
       .parquet(turnsDir).as[Turn]
-    val (_, secs) = time {
+    val (_, secs) = try time {
       val q = graft.snapshot.SnapshotStream.updates(stream, "3650 days")
         .writeStream.outputMode("update")
         .option("checkpointLocation", s"$tmp/ckpt")
@@ -85,7 +103,7 @@ object Bench {
           s"durationMs=${p.durationMs} state=${p.stateOperators.map(s => s"commit=${s.commitTimeMs}").mkString(",")}"))
       }
       q.stop()
-    }
+    } finally rmrf(tmp)
     secs
   }
 
@@ -144,6 +162,7 @@ object Bench {
         s""""replay_to_ts_sec":$replayS,"replay_turns_per_sec":${rows / replayS},""" +
         s""""cpus":$cpus}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
+    rmrf(java.nio.file.Paths.get(turnsDir).getParent.toString)
     spark.stop()
   }
 }
