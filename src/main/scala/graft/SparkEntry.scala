@@ -44,6 +44,9 @@ object SparkEntry {
     // G1 streaming form: one source, two filtered targets, independent
     // tables + checkpoints (reference PipelineBuilder.scala:154-184)
     "g1_stream_fanout" -> (StreamQueries.g1StreamFanout _),
+    // bounded-state fold: TTL eviction + additive generations must equal
+    // the unbounded pipeline (same oracle as s1)
+    "s1_ttl_snapshot" -> (StreamQueries.s1TtlSnapshot _),
     "s2_json_decode" -> (SnapshotQueries.s2JsonDecode _),
     "agg_typed_fold" -> (StreamQueries.aggTypedFold _),
     "rollup_agg" -> (RelationalQueries.rollupAgg _),
@@ -131,6 +134,7 @@ object SparkEntry {
     "w4_tool_usage" -> WindowQueries.w4ToolUsageSql,
     "s1_stream_snapshot" -> StreamQueries.s1StreamSnapshotSql,
     "g1_stream_fanout" -> StreamQueries.g1StreamFanoutSql,
+    "s1_ttl_snapshot" -> StreamQueries.s1StreamSnapshotSql, // same semantics, same oracle
     "s2_json_decode" -> SnapshotQueries.s2JsonDecodeSql,
     "agg_typed_fold" -> StreamQueries.s1StreamSnapshotSql, // same semantics, same oracle
     "rollup_agg" -> RelationalQueries.rollupAggSql,

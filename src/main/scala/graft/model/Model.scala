@@ -36,6 +36,26 @@ final case class ConvSnapshot(
     first_ts: Timestamp,
     last_ts: Timestamp)
 
+/** One GENERATION of a conversation's snapshot under the bounded-state
+  * (TTL-evicting) fold: cumulative state since the generation's first
+  * on-time turn (`gen` = that turn's event time in epoch micros). A
+  * conversation idle past the TTL is evicted from the state store; if it
+  * returns, a NEW generation starts from zero — the table's additive
+  * read ([[graft.snapshot.SnapshotTtl]]) recombines generations into the
+  * exact unbounded-state snapshot.
+  */
+final case class ConvSnapshotGen(
+    conv_id: String,
+    gen: Long,
+    last_turn_idx: Int,
+    last_role: String,
+    last_tool: String,
+    last_text: String,
+    turn_count: Long,
+    tool_counts: Map[String, Long],
+    first_ts: Timestamp,
+    last_ts: Timestamp)
+
 /** Per-partition, per-batch lineage record — the observability analog of
   * znap's offset store + ProgressChecker gauges
   * (reference: persistence/dynamo/DynamoDBOffsetWriter.scala:23-31,
@@ -70,6 +90,20 @@ object Schemas {
     StructField("text", StringType, nullable = false),
     StructField("tool", StringType, nullable = false),
     StructField("ts", TimestampType, nullable = false)))
+
+  /** TTL-mode generation rows as stored (keyed by row_key = conv:gen). */
+  val snapshotGen: StructType = StructType(Seq(
+    StructField("conv_id", StringType, nullable = false),
+    StructField("gen", LongType, nullable = false),
+    StructField("last_turn_idx", IntegerType, nullable = false),
+    StructField("last_role", StringType, nullable = false),
+    StructField("last_tool", StringType, nullable = false),
+    StructField("last_text", StringType, nullable = false),
+    StructField("turn_count", LongType, nullable = false),
+    StructField("tool_counts", MapType(StringType, LongType), nullable = false),
+    StructField("first_ts", TimestampType, nullable = false),
+    StructField("last_ts", TimestampType, nullable = false),
+    StructField("row_key", StringType, nullable = false)))
 
   val lineage: StructType = StructType(Seq(
     StructField("batch_id", LongType, nullable = false),

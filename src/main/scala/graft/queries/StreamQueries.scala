@@ -2,6 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{Schemas, Turn}
@@ -122,6 +123,66 @@ object StreamQueries {
 
   def h1Lag(s: SparkSession, d: String): DataFrame =
     LagReport(runPipeline(s, d)._1.lineage(), eventsAsTurns(s, d))
+
+  // ---- bounded-state (TTL) pipeline ----------------------------------
+  private val ttlCache = mutable.Map[(SparkSession, String), IcebergLikeTable]()
+
+  /** Runs the TTL-evicting pipeline with a real event-time watermark
+    * (input files are RANGE-partitioned by ts, so arrival order is time
+    * order and the watermark advances batch by batch — users idle past
+    * the 24h TTL are genuinely evicted mid-stream and re-enter as new
+    * generations).
+    */
+  private def runTtlPipeline(s: SparkSession, d: String): IcebergLikeTable =
+    ttlCache.synchronized {
+      ttlCache.getOrElseUpdate((s, d), {
+        import s.implicits._
+        implicit val sp: SparkSession = s
+        val tmp = Files.createTempDirectory("graft-ttl-q").toString
+        val inDir = s"$tmp/in"
+        eventsAsTurns(s, d).repartitionByRange(4, col("ts")).write.parquet(inDir)
+        // FileStreamSource orders new files by (modification time, path);
+        // all four range files share a write-second, so stamp ascending
+        // mod-times in range order (part-0000N holds range N) — otherwise
+        // a late-range file can arrive first, jump the watermark, and
+        // late-drop whole earlier ranges.
+        val parts = Files.list(java.nio.file.Paths.get(inDir))
+        try {
+          parts.iterator().asScala.toSeq
+            .filter(_.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
+            .zipWithIndex.foreach { case (p, i) =>
+              Files.setLastModifiedTime(p,
+                java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+            }
+        } finally parts.close()
+        val stream = s.readStream.schema(Schemas.turn)
+          .option("maxFilesPerTrigger", "1").parquet(inDir).as[Turn]
+        val table = new IcebergLikeTable(s"$tmp/table", 8,
+          keyCol = "row_key", emptySchema = Schemas.snapshotGen)
+        val q = graft.snapshot.SnapshotTtl
+          .updates(stream, watermark = "1 hour", ttlMs = 24L * 3600 * 1000)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch(graft.snapshot.SnapshotTtl.sink(table) _)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        table
+      })
+    }
+
+  /** Bounded-state pipeline, DuckDB-oracled with the SAME s1 oracle: the
+    * additive-generation read must equal the unbounded snapshot exactly,
+    * evictions and re-arrivals included.
+    */
+  def s1TtlSnapshot(s: SparkSession, d: String): DataFrame =
+    graft.snapshot.SnapshotTtl.readAdditive(runTtlPipeline(s, d)).select(
+      col("conv_id"),
+      col("last_turn_idx").cast("long").as("last_turn_idx"),
+      col("last_role"),
+      col("turn_count"),
+      unix_micros(col("first_ts")).as("first_ts_us"),
+      unix_micros(col("last_ts")).as("last_ts_us"))
 
   // ---- G1: streaming multi-target fan-out -----------------------------
   /** The two per-target filters mirror the batch g1_fanout exhibit. */
