@@ -83,6 +83,7 @@ object SparkEntry {
     "text_quality" -> (TextQueries.textQuality _),
     "lang_id" -> (TextQueries.langId _),
     "fingerprint" -> (TextQueries.fingerprint _),
+    "token_counts" -> (TextQueries.tokenCounts _),
     "ngram_jaccard" -> (TextQueries.ngramJaccard _),
     // MinHash LSH candidates verified by exact Jaccard: the LSH bands
     // generate candidate pairs, the exact shingle-Jaccard filter keeps
@@ -155,6 +156,7 @@ object SparkEntry {
     "text_quality" -> TextQueries.textQualitySql,
     "lang_id" -> TextQueries.langIdSql,
     "fingerprint" -> TextQueries.fingerprintSql,
+    "token_counts" -> TextQueries.tokenCountsSql,
     "ngram_jaccard" -> TextQueries.ngramJaccardSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> graft.ann.Ann.lshTopKSql(queryId = 0L, k = 10, dim = 64,
@@ -163,10 +165,15 @@ object SparkEntry {
     "dedup_minhash" -> dedupMinhashVerifiedSql,
     "dedup_simhash" -> graft.dedup.Dedup.simhashCandidatesOracleSql,
     "emb_neardup" -> embNearDupSql,
-    "mm_decode" -> mmDecodeSql)
+    "mm_decode" -> mmDecodeSql,
+    // Q2 lists the dataset dir's catalog; the fixture's table set is fixed
+    // by TESTDATA.md, so the oracle pins it as literals — the engine side
+    // still genuinely enumerates the directory.
+    "q2_snapshot_list" -> ("""SELECT snapshot_target FROM (VALUES
+       ('customer'),('documents'),('embeddings'),('events'),('lineitem'),
+       ('nation'),('orders'),('part'),('region'),('supplier'))
+       AS t(snapshot_target)"""))
     // rows-only (no SQL-expressible oracle), each justified:
-    //   q2_snapshot_list — lists parquet files in the dataset dir (catalog
-    //     metadata, not table data DuckDB could query);
     //   o1_lineage — per-batch/per-partition stats depend on the runner's
     //     core count and micro-batch planning, not on table data;
     //   h1_lag — derived from o1_lineage (same runner dependence).

@@ -87,6 +87,31 @@ object TextQueries {
          ELSE 'de' END AS predicted_lang
        FROM documents"""
 
+  /** Token counting (task brief: "whitespace + a BPE-ish regex"): the
+    * GPT-2-style pre-tokenizer shape — contractions, space-prefixed
+    * letter/digit runs, punctuation runs, whitespace runs — restricted to
+    * ASCII classes so Java regex and RE2 agree; plus the plain whitespace
+    * split count. Narrow, codegen'd, scale-linear.
+    */
+  def tokenCounts(s: SparkSession, d: String): DataFrame = {
+    val bpePat = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(bpePat), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      when(length(trim(col("text"))) === 0, lit(0L))
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        .as("n_ws_tokens"))
+  }
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+       len(regexp_extract_all(text,
+         '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS n_bpe_tokens,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens
+       FROM documents"""
+
   /** Document fingerprint: digest of whitespace/punctuation-normalized
     * lowercase text — near-dup-stable canonical form.
     */

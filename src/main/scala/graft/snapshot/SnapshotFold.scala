@@ -101,8 +101,8 @@ object SnapshotFold {
       last_text: String,
       turn_count: Long,
       tool_counts: Map[String, Long],
-      first_ts_ms: Long, // epoch MICROS despite the legacy name
-      last_ts_ms: Long)
+      first_ts_us: Long,
+      last_ts_us: Long)
 
   object SnapshotAgg extends Aggregator[Turn, Buf, ConvSnapshot] {
     def zero: Buf =
@@ -123,8 +123,8 @@ object SnapshotFold {
           if (t.tool.nonEmpty)
             b.tool_counts.updated(t.tool, b.tool_counts.getOrElse(t.tool, 0L) + 1L)
           else b.tool_counts,
-        first_ts_ms = math.min(b.first_ts_ms, tsToMicros(t.ts)),
-        last_ts_ms = math.max(b.last_ts_ms, tsToMicros(t.ts)))
+        first_ts_us = math.min(b.first_ts_us, tsToMicros(t.ts)),
+        last_ts_us = math.max(b.last_ts_us, tsToMicros(t.ts)))
     }
     def merge(a: Buf, b: Buf): Buf = {
       val bWins = b.last_turn_idx > a.last_turn_idx ||
@@ -136,13 +136,13 @@ object SnapshotFold {
         tool_counts = b.tool_counts.foldLeft(a.tool_counts) {
           case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v)
         },
-        first_ts_ms = math.min(a.first_ts_ms, b.first_ts_ms),
-        last_ts_ms = math.max(a.last_ts_ms, b.last_ts_ms))
+        first_ts_us = math.min(a.first_ts_us, b.first_ts_us),
+        last_ts_us = math.max(a.last_ts_us, b.last_ts_us))
     }
     def finish(b: Buf): ConvSnapshot = ConvSnapshot(
       b.conv_id, b.last_turn_idx, b.last_role, b.last_tool, b.last_text,
       b.turn_count, canonMap(b.tool_counts),
-      microsToTs(b.first_ts_ms), microsToTs(b.last_ts_ms))
+      microsToTs(b.first_ts_us), microsToTs(b.last_ts_us))
     def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     def outputEncoder: Encoder[ConvSnapshot] = Encoders.product[ConvSnapshot]
   }
