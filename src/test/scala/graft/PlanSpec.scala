@@ -65,6 +65,7 @@ class PlanSpec extends SparkSpec {
       "ann_bruteforce" -> graft.ann.Ann.bruteForceTopK(emb, 0L, 10),
       "ann_expr" -> graft.ann.Ann.bruteForceTopKExpr(emb, 0L, 10),
       "ann_lsh" -> graft.ann.Ann.lshTopK(emb, 0L, 10),
+      "ann_ivf" -> graft.ann.Ann.ivfTopK(emb, 0L, 10),
       "topk_hot_keys" -> RelationalQueries.topkHotKeys(spark, dir))
     plans.foreach { case (name, df) =>
       val p = planOf(df)
