@@ -38,7 +38,8 @@ import graft.model.Schemas
   */
 final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val keyCol: String = "conv_id", val maxDeltasPerBucket: Int = 8,
-    val autoVacuum: Boolean = true, val emptySchema: StructType = Schemas.snapshot)(
+    val autoVacuum: Boolean = true, val emptySchema: StructType = Schemas.snapshot,
+    val retainManifests: Int = 2)(
     implicit spark: SparkSession) {
 
   private val manifestPath: Path = Paths.get(root, "manifest.json")
@@ -110,10 +111,45 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * catalog performs).
     */
   private def commitManifest(m: Manifest): Unit = {
+    // versioned copy first (time travel / snapshot history — the Iceberg
+    // snapshot-log analog); the atomic main swap still gates visibility
+    Files.writeString(Paths.get(root, s"manifest-v${m.lastBatchId}.json"),
+      renderManifest(m))
     val tmp = Paths.get(root, s"manifest.tmp.${m.lastBatchId}")
     Files.writeString(tmp, renderManifest(m))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Committed batch ids with a retained versioned manifest, ascending. */
+  def manifestVersions(): Seq[Long] = {
+    val ls = Files.list(Paths.get(root))
+    try ls.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("manifest-v") && n.endsWith(".json"))
+      .map(_.stripPrefix("manifest-v").stripSuffix(".json").toLong)
+      .toSeq.sorted
+    finally ls.close()
+  }
+
+  /** Time travel: the table as of committed batch `batchId` (Iceberg
+    * `VERSION AS OF`; znap's replay-to-offset made a storage-layer
+    * feature). Valid while the version's manifest survives retention —
+    * vacuum keeps the last [[retainManifests]] versions' files, exactly
+    * like Iceberg's expire_snapshots bounds its history.
+    */
+  def readAsOf(batchId: Long): DataFrame = {
+    val vPath = Paths.get(root, s"manifest-v$batchId.json")
+    if (!Files.exists(vPath))
+      throw new IllegalArgumentException(
+        s"no retained manifest for batch $batchId " +
+          s"(retained: ${manifestVersions().mkString(",")})")
+    val m = parseManifest(Files.readString(vPath))
+    val files = m.dataFiles.map(f => s"$root/$f")
+    if (files.isEmpty) emptyDf(emptySchema)
+    else if (m.deltas.values.forall(_.isEmpty))
+      spark.read.parquet(files: _*).drop("__seq")
+    else resolve(spark.read.parquet(files: _*))
   }
 
   // ---- read ----------------------------------------------------------
@@ -264,16 +300,26 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     true
   }
 
-  /** Delete data files the committed manifest no longer references (plus
-    * stranded manifest.tmp.* from crashed commits) and prune empty dirs.
-    * Lineage/signal files are append-only and never superseded, so only
-    * `data/` is swept. Safe post-commit: anything removed is invisible to
-    * any reader that starts from the current manifest.
+  /** Delete data files no retained manifest references (plus stranded
+    * manifest.tmp.* from crashed commits and expired manifest versions)
+    * and prune empty dirs. The live set is the UNION of the files
+    * referenced by the last [[retainManifests]] versioned manifests plus
+    * the current one — so time travel stays valid over the retention
+    * window (Iceberg expire_snapshots semantics). Lineage/signal files
+    * are append-only and never superseded, so only `data/` is swept.
+    * Safe post-commit: anything removed is invisible from every retained
+    * manifest.
     */
   def vacuum(): Unit = {
+    val versions = manifestVersions()
+    val expired = versions.dropRight(retainManifests)
+    expired.foreach(v => Files.deleteIfExists(Paths.get(root, s"manifest-v$v.json")))
+    val retained = versions.takeRight(retainManifests).map(v =>
+      parseManifest(Files.readString(Paths.get(root, s"manifest-v$v.json"))))
     val m = readManifest()
     val live: Set[Path] =
-      m.dataFiles.map(f => Paths.get(root, f).toAbsolutePath.normalize).toSet
+      (m.dataFiles ++ retained.flatMap(_.dataFiles))
+        .map(f => Paths.get(root, f).toAbsolutePath.normalize).toSet
     val dataRoot = Paths.get(root, "data")
     if (Files.exists(dataRoot)) {
       val walk = Files.walk(dataRoot)

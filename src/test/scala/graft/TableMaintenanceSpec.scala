@@ -46,12 +46,32 @@ class TableMaintenanceSpec extends SparkSpec {
 
   test("vacuum deletes superseded files: disk matches the live manifest") {
     val table = new IcebergLikeTable(tmpDir("vac") + "/t", numBuckets = 4,
-      maxDeltasPerBucket = 2)
+      maxDeltasPerBucket = 2, retainManifests = 1)
     val keys = (0 until 8).map(i => s"c$i")
     (0 until 8).foreach(b => mergeBatch(table, b.toLong, keys.map(k => snap(k, b))))
     val (base, delta) = table.fileStats()
     assert(table.dataFilesOnDisk() === base + delta,
       "disk holds parquet files the manifest no longer references")
+  }
+
+  test("time travel: readAsOf reproduces each retained version; expired versions fail cleanly") {
+    val table = new IcebergLikeTable(tmpDir("tt") + "/t", numBuckets = 4,
+      retainManifests = 2)
+    val keys = (0 until 6).map(i => s"c$i")
+    val historical = (0 until 4).map { b =>
+      mergeBatch(table, b.toLong, keys.map(k => snap(k, b)))
+      b.toLong -> table.read().as[ConvSnapshot].collect()
+        .map(x => x.conv_id -> x.last_turn_idx).toMap
+    }.toMap
+    // retention: last 2 versions survive, older are expired by vacuum
+    assert(table.manifestVersions() === Seq(2L, 3L))
+    (2L to 3L).foreach { b =>
+      val got = table.readAsOf(b).as[ConvSnapshot].collect()
+        .map(x => x.conv_id -> x.last_turn_idx).toMap
+      assert(got === historical(b), s"version $b diverged")
+    }
+    intercept[IllegalArgumentException] { table.readAsOf(0L) }
+    intercept[IllegalArgumentException] { table.readAsOf(99L) }
   }
 
   test("a batch retry after a partial write succeeds (overwrite, not ErrorIfExists)") {
