@@ -49,8 +49,15 @@ object SnapshotStream {
     * stream + watermark").
     */
   def updates(turns: Dataset[Turn], watermark: String = "10 minutes"): Dataset[ConvSnapshot] =
+    foldUpdates(turns.withWatermark("ts", watermark))
+
+  /** Fold over a stream whose watermark is already assigned upstream —
+    * Spark forbids redefining it, so a pipeline with a prior stateful
+    * stage (e.g. [[graft.streaming.DedupStream.dedupTurns]]) composes
+    * with this form.
+    */
+  def foldUpdates(turns: Dataset[Turn]): Dataset[ConvSnapshot] =
     turns
-      .withWatermark("ts", watermark)
       .groupByKey(_.conv_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(stateFn)
 }

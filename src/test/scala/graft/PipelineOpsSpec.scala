@@ -161,6 +161,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(evenGot.keySet !== userGot.keySet, "filters did nothing — test is vacuous")
   }
 
+  // ---- in-flight exact dedup (at-least-once upstream) -----------------
+  test("redelivered turns are deduped before the fold: counters stay exact") {
+    val dir = tmpDir("streamdedup")
+    val table = new IcebergLikeTable(s"$dir/table", 4)
+    val turns = allTurns.take(60)
+    val redelivered = turns.take(25) // overlap re-sent in a later batch
+    val input = MemoryStream[Turn](spark)
+    val deduped = graft.streaming.DedupStream.dedupTurns(input.toDS(), "1 day")
+    val q = SnapshotStream.foldUpdates(deduped).writeStream
+      .outputMode("update").option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(MergeSink(table) _).start()
+    Seq(turns.take(30), redelivered ++ turns.drop(30)).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val got = table.read().as[ConvSnapshot].collect().map(x => x.conv_id -> x).toMap
+    assert(got === expected(turns),
+      "redelivery inflated the fold — dedup stage failed")
+  }
+
   // ---- O2: in-flight metrics on a live pipeline ----------------------
   test("MetricsListener observes batches and positive throughput on a live run") {
     val dir = tmpDir("metrics")
