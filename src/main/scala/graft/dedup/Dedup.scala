@@ -8,6 +8,19 @@ import org.apache.spark.sql.functions._
   * signatures are computed per-row (narrow, codegen'd), and the only
   * shuffle is the band-bucket / simhash-chunk groupBy whose cardinality is
   * O(#buckets), not O(#pairs).
+  *
+  * Hot-bucket guard: at 100 TB, boilerplate/near-empty documents collapse
+  * thousands of rows into one band/chunk bucket, and a naive within-bucket
+  * self-join goes quadratic in bucket size. Buckets larger than
+  * `maxBucket` therefore switch to STAR emission: every member pairs with
+  * the bucket's smallest doc_id (the representative) only — O(bucket)
+  * output instead of O(bucket²), and duplicate-CLUSTER connectivity is
+  * preserved (any two members stay connected through the representative,
+  * so a connected-components pass recovers the full duplicate class).
+  * Small buckets are untouched, so at sane signatures the pair set is
+  * byte-identical to the unguarded join. [[bucketStats]] exposes the
+  * bucket-size distribution so a pipeline can alert on degenerate
+  * signatures instead of silently paying for them.
   */
 object Dedup {
 
@@ -44,31 +57,78 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** Within-bucket pair generation with the hot-bucket guard (see object
+    * doc). `rows` carries one row per (doc_id, bucket-key...) plus a
+    * per-doc `payload` column (the signature). Buckets ≤ maxBucket emit
+    * all pairs; larger buckets emit star pairs to the min-doc_id
+    * representative. The stats join shares the (bucket-key) shuffle key
+    * with the pair join, and the star side's representative-payload join
+    * only touches hot-bucket members (normally zero rows).
+    */
+  private def guardedSelfPairs(rows: DataFrame, keyCols: Seq[String],
+      payload: String, maxBucket: Int): DataFrame = {
+    val pa = s"${payload}_a"; val pb = s"${payload}_b"
+    val stats = rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__rep"))
+    val tagged = rows.join(stats, keyCols)
+    val small = tagged.filter(col("__n") <= maxBucket)
+    val allPairs = small.as("a").join(small.as("b"),
+      keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col(s"a.$payload").as(pa), col(s"b.$payload").as(pb))
+    val hotMembers = tagged
+      .filter(col("__n") > maxBucket && col("doc_id") =!= col("__rep"))
+      .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"),
+        col(payload).as(pb))
+      .dropDuplicates("doc_a", "doc_b")
+    val reps = rows
+      .select(col("doc_id").as("doc_a"), col(payload).as(pa))
+      .dropDuplicates("doc_a")
+    val starPairs = hotMembers.join(reps, "doc_a")
+      .select(col("doc_a"), col("doc_b"), col(pa), col(pb))
+    allPairs.unionByName(starPairs).dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Banded view of the MinHash signatures: one row per (doc, band) keyed
+    * by the band's bucket hash.
+    */
+  private def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    minhashSignatures(docs, idCol, textCol, numHashes)
+      .select(col("doc_id"), col("sig"),
+        posexplode(array((0 until nBands).map(b =>
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+              .cast("array<string>")))): _*))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** Band-bucket size distribution (descending) — the monitoring surface
+    * for degenerate signatures: alert when max size approaches maxBucket.
+    */
+  def bucketStats(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame =
+    bandedSignatures(docs, idCol, textCol, numHashes, rowsPerBand)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc)
+
   /** Candidate pairs via banded LSH over the MinHash signature.
-    * Docs agreeing on all rows of any band collide. Returns
+    * Docs agreeing on all rows of any band collide (buckets above
+    * `maxBucket` degrade to star pairs — see object doc). Returns
     * (doc_a, doc_b, est_jaccard), est_jaccard = fraction of matching
     * minhash components.
     */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
-    val nBands = numHashes / rowsPerBand
-    val sig = minhashSignatures(docs, idCol, textCol, numHashes)
-    val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until nBands).map(b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-            .cast("array<string>")))): _*))
-        .as(Seq("band", "bucket")))
-    val pairs = banded.as("a").join(banded.as("b"),
-      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    pairs.select(col("doc_a"), col("doc_b"),
-      (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-        (x === y).cast("int")), v => v === 1)).cast("double") /
-        lit(numHashes.toDouble)).as("est_jaccard"))
+      numHashes: Int = 32, rowsPerBand: Int = 4,
+      maxBucket: Int = 100000): DataFrame = {
+    val banded = bandedSignatures(docs, idCol, textCol, numHashes, rowsPerBand)
+    guardedSelfPairs(banded, Seq("band", "bucket"), "sig", maxBucket)
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          (x === y).cast("int")), v => v === 1)).cast("double") /
+          lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
   /** 64-bit SimHash: per token-hash bit, vote +count/-count; sign → bit.
@@ -99,7 +159,7 @@ object Dedup {
     * O(#buckets); no all-pairs stage anywhere.
     */
   def candidatesFromSimhash(sig: DataFrame, maxHamming: Int,
-      bits: Int, nChunks: Int): DataFrame = {
+      bits: Int, nChunks: Int, maxBucket: Int = 100000): DataFrame = {
     require(maxHamming <= nChunks - 1,
       s"pigeonhole completeness needs maxHamming <= nChunks-1")
     val w = bits / nChunks
@@ -108,20 +168,18 @@ object Dedup {
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col("simhash"), c * w).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "ckey")))
-    chunked.as("a").join(chunked.as("b"),
-      col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    guardedSelfPairs(chunked, Seq("chunk", "ckey"), "simhash", maxBucket)
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
           .cast("long").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
   }
 
   /** Production simhash candidates: xxhash64 tokens, 64-bit signatures. */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame =
-    candidatesFromSimhash(simhash(docs, idCol, textCol), maxHamming, 64, 4)
+      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame =
+    candidatesFromSimhash(simhash(docs, idCol, textCol), maxHamming, 64, 4,
+      maxBucket)
 
   /** Oracle-reproducible simhash: token hash = the first 15 hex chars of
     * md5 (60 bits), votes per bit from per-char nibbles — every step is

@@ -89,6 +89,50 @@ class DedupSpec extends SparkSpec {
       "no near-dup pairs at hamming<=3 — corpus check is vacuous")
   }
 
+  test("hot-bucket guard: degenerate corpus emits O(n) star pairs, not O(n^2), connectivity preserved") {
+    // 1200 identical short docs: every band hashes every doc into ONE
+    // bucket. Unguarded, the self-join emits 719,400 pairs; the guard
+    // caps it at n-1 star pairs to the representative (doc 0), which
+    // keeps the duplicate class connected.
+    val n = 1200
+    val degenerate = spark.range(n).select($"id".as("doc_id"),
+      lit("all work and no play makes a dull boilerplate document").as("text"))
+    val mh = Dedup.minhashCandidates(degenerate, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 4, maxBucket = 100)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(mh.length === n - 1, "star emission should yield exactly n-1 pairs")
+    assert(mh.forall(_._1 === 0L), "every pair anchors at the representative")
+    assert(mh.map(_._2).toSet === (1L until n).toSet, "every member reached")
+    assert(mh.forall(_._3 === 1.0), "identical docs estimate jaccard 1.0")
+    val sh = Dedup.simhashCandidates(degenerate, "doc_id", "text",
+      maxHamming = 3, maxBucket = 100)
+      .as[(Long, Long, Long)].collect()
+    assert(sh.length === n - 1 && sh.forall(p => p._1 === 0L && p._3 === 0L))
+    // monitoring surface: the stats frame exposes the degenerate bucket
+    val maxBucketSize = Dedup.bucketStats(degenerate, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 4)
+      .select($"n").as[Long].first()
+    assert(maxBucketSize === n.toLong)
+  }
+
+  test("guard is inert on healthy buckets: tiny cap over the real corpus equals star-only where hot, all-pairs elsewhere") {
+    // With the cap far above any bucket size, guarded == historical
+    // all-pairs output (the oracle premise); DedupSpec's exactness test
+    // above already pins that. Here: a cap of 1 forces EVERY multi-doc
+    // bucket to star mode, and the result must still be a subset of the
+    // unguarded pair set that touches the same doc population.
+    val full = Dedup.minhashCandidates(docs, "doc_id", "text", 32, 4)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val starred = Dedup.minhashCandidates(docs, "doc_id", "text", 32, 4,
+      maxBucket = 1)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(starred.subsetOf(full))
+    val fullDocs = full.flatMap(p => Set(p._1, p._2))
+    val starDocs = starred.flatMap(p => Set(p._1, p._2))
+    assert(starDocs === fullDocs, "star mode must not drop documents from the candidate population")
+  }
+
   test("minhash LSH at verification params recalls every exact-Jaccard>=0.5 pair (the dedup_minhash oracle premise)") {
     val texts = docs.filter($"doc_id" < 300)
       .select($"doc_id", $"text").as[(Long, String)].collect().toMap
