@@ -39,7 +39,7 @@ import graft.model.Schemas
 final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val keyCol: String = "conv_id", val maxDeltasPerBucket: Int = 8,
     val autoVacuum: Boolean = true, val emptySchema: StructType = Schemas.snapshot,
-    val retainManifests: Int = 2)(
+    val retainManifests: Int = 2, val inlineCompaction: Boolean = true)(
     implicit spark: SparkSession) {
 
   private val manifestPath: Path = Paths.get(root, "manifest.json")
@@ -50,9 +50,15 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * base files; `deltas` the per-bucket ordered delta files appended
     * since that bucket's last compaction.
     */
+  /** `removed` is the tombstone log: data files superseded by some commit
+    * but possibly still referenced by a retained versioned manifest (time
+    * travel). Incremental GC deletes a tombstoned file — and drops its log
+    * entry — once no retained manifest references it, so per-commit GC
+    * cost is O(tombstones + R small manifests), never O(files-on-disk).
+    */
   final case class Manifest(lastBatchId: Long, buckets: Map[Int, Seq[String]],
       deltas: Map[Int, Seq[String]], lineageFiles: Seq[String],
-      signalFiles: Seq[String]) {
+      signalFiles: Seq[String], removed: Seq[String] = Nil) {
     def dataFiles: Seq[String] =
       (buckets.values.flatten ++ deltas.values.flatten).toSeq
   }
@@ -74,12 +80,15 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val deltas = scala.collection.mutable.Map[Int, Seq[String]]()
     var lineage: Seq[String] = Nil
     var signals: Seq[String] = Nil
+    var removed: Seq[String] = Nil
     lines.foreach {
       case l if l.startsWith("lastBatchId=") => last = l.substring(12).toLong
       case l if l.startsWith("lineage=") =>
         lineage = l.substring(8).split(",").filter(_.nonEmpty).toSeq
       case l if l.startsWith("signals=") =>
         signals = l.substring(8).split(",").filter(_.nonEmpty).toSeq
+      case l if l.startsWith("removed=") =>
+        removed = l.substring(8).split(",").filter(_.nonEmpty).toSeq
       case l if l.startsWith("bucket:") =>
         val Array(k, v) = l.substring(7).split("=", 2)
         buckets(k.toInt) = v.split(",").filter(_.nonEmpty).toSeq
@@ -89,7 +98,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       case _ =>
     }
     Manifest(last, ListMap(buckets.toSeq.sortBy(_._1): _*),
-      ListMap(deltas.toSeq.sortBy(_._1): _*), lineage, signals)
+      ListMap(deltas.toSeq.sortBy(_._1): _*), lineage, signals, removed)
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -97,6 +106,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     sb.append(s"lastBatchId=${m.lastBatchId}\n")
     sb.append(s"lineage=${m.lineageFiles.mkString(",")}\n")
     sb.append(s"signals=${m.signalFiles.mkString(",")}\n")
+    sb.append(s"removed=${m.removed.mkString(",")}\n")
     m.buckets.toSeq.sortBy(_._1).foreach { case (b, fs) =>
       sb.append(s"bucket:$b=${fs.mkString(",")}\n")
     }
@@ -111,23 +121,35 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * catalog performs).
     */
   private def commitManifest(m: Manifest): Unit = {
-    // versioned copy first (time travel / snapshot history — the Iceberg
-    // snapshot-log analog); the atomic main swap still gates visibility
-    Files.writeString(Paths.get(root, s"manifest-v${m.lastBatchId}.json"),
-      renderManifest(m))
+    // Atomic main swap FIRST — it alone gates visibility. The versioned
+    // copy (time travel / snapshot history, the Iceberg snapshot-log
+    // analog) follows, also via temp + ATOMIC_MOVE: a crash between the
+    // two writes leaves a committed batch with no history entry (time
+    // travel to it fails cleanly) — never a history entry for an
+    // uncommitted batch, which the old order could expose via readAsOf.
     val tmp = Paths.get(root, s"manifest.tmp.${m.lastBatchId}")
     Files.writeString(tmp, renderManifest(m))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    val vTmp = Paths.get(root, s"manifest.vtmp.${m.lastBatchId}")
+    Files.writeString(vTmp, renderManifest(m))
+    Files.move(vTmp, Paths.get(root, s"manifest-v${m.lastBatchId}.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Committed batch ids with a retained versioned manifest, ascending. */
+  /** Committed batch ids with a retained versioned manifest, ascending.
+    * Versioned files beyond the committed lastBatchId (plantable only by
+    * external interference — the commit ordering above cannot produce
+    * them) are excluded: they are not history.
+    */
   def manifestVersions(): Seq[Long] = {
+    val last = readManifest().lastBatchId
     val ls = Files.list(Paths.get(root))
     try ls.iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("manifest-v") && n.endsWith(".json"))
       .map(_.stripPrefix("manifest-v").stripSuffix(".json").toLong)
+      .filter(_ <= last)
       .toSeq.sorted
     finally ls.close()
   }
@@ -140,9 +162,9 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     */
   def readAsOf(batchId: Long): DataFrame = {
     val vPath = Paths.get(root, s"manifest-v$batchId.json")
-    if (!Files.exists(vPath))
+    if (!Files.exists(vPath) || batchId > readManifest().lastBatchId)
       throw new IllegalArgumentException(
-        s"no retained manifest for batch $batchId " +
+        s"no committed retained manifest for batch $batchId " +
           s"(retained: ${manifestVersions().mkString(",")})")
     val m = parseManifest(Files.readString(vPath))
     val files = m.dataFiles.map(f => s"$root/$f")
@@ -188,19 +210,36 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
 
   /** Point lookup — prunes to the key's single bucket before scanning
     * (znap Q1: restapi/DynamoDBEntityReader.scala:38-73 consistent getItem).
+    * The bucket is computed by evaluating Catalyst's own Murmur3Hash on
+    * the driver — consistent with [[bucketOf]]'s `hash()` by construction
+    * (same expression class, same default seed), and no Spark job is spent
+    * hashing one string: a lookup launches exactly one job, the scan.
     */
   def lookup(c: String, key: String): DataFrame = {
+    require(c == keyCol, s"lookup key column '$c' != table key '$keyCol'")
     val m = readManifest()
-    // Compute the bucket with Spark's own hash to stay consistent with writes.
-    val bucket = spark.range(1).select(
-      pmod(hash(lit(key)), lit(numBuckets)).cast("int")).head().getInt(0)
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(key),
+        org.apache.spark.sql.types.StringType)), 42)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Int]
+    val bucket = ((h % numBuckets) + numBuckets) % numBuckets
     val base = m.buckets.getOrElse(bucket, Nil)
     val delta = m.deltas.getOrElse(bucket, Nil)
     val files = (base ++ delta).map(f => s"$root/$f")
+    // Explicit schema (the declared table schema + __seq): a point read
+    // must not pay a footer-probe job for schema inference. merge() only
+    // ever writes emptySchema-shaped rows, the same assumption empty reads
+    // already make.
+    val withSeq = StructType(emptySchema.fields :+
+      org.apache.spark.sql.types.StructField("__seq",
+        org.apache.spark.sql.types.LongType))
     if (files.isEmpty) emptyDf(emptySchema).where(col(c) === key)
     else if (delta.isEmpty)
-      spark.read.parquet(files: _*).drop("__seq").where(col(c) === key)
-    else resolve(spark.read.parquet(files: _*).where(col(c) === key))
+      spark.read.schema(withSeq).parquet(files: _*)
+        .drop("__seq").where(col(c) === key)
+    else resolve(spark.read.schema(withSeq).parquet(files: _*).where(col(c) === key))
   }
 
   def lineage(): DataFrame = {
@@ -247,7 +286,10 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     updates
       .withColumn("__seq", lit(batchId))
       .withColumn("__bucket", bucketOf(keyCol))
-      .repartition(math.min(numBuckets, 32), col("__bucket"))
+      // one task per bucket up to the cluster's parallelism (a flat 32 cap
+      // serialized 1024-bucket tables' delta writes on real clusters)
+      .repartition(math.min(numBuckets,
+        math.max(spark.sparkContext.defaultParallelism, 32)), col("__bucket"))
       .sortWithinPartitions(col(keyCol)) // deterministic file content order
       .write.mode("overwrite").partitionBy("__bucket").parquet(deltaDir)
 
@@ -257,27 +299,13 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
         b -> (m.deltas.getOrElse(b, Nil) ++ newDeltaFiles.getOrElse(b, Nil))
       }.toMap
 
-    // ---- compaction: buckets whose delta chain got long ----------------
-    val toCompact = deltas.filter(_._2.size >= maxDeltasPerBucket).keySet
+    // Inline compaction keeps delta chains bounded within the same commit;
+    // latency-sensitive pipelines construct with inlineCompaction = false
+    // and call [[compact]] out-of-band so no micro-batch pays an O(bucket)
+    // rewrite (VERDICT r2: the p99 spike at scale).
     val (buckets2, deltas2) =
-      if (toCompact.isEmpty) (m.buckets, deltas)
-      else {
-        val files = toCompact.toSeq.sorted.flatMap(b =>
-          (m.buckets.getOrElse(b, Nil) ++ deltas.getOrElse(b, Nil)).map(f => s"$root/$f"))
-        val baseDir = s"$root/data/base-$version"
-        resolve(spark.read.parquet(files: _*))
-          .withColumn("__seq", lit(batchId)) // compacted rows re-stamped; deltas are newer by construction
-          .withColumn("__bucket", bucketOf(keyCol))
-          .repartition(math.max(toCompact.size, 1), col("__bucket"))
-          .sortWithinPartitions(col(keyCol))
-          .write.mode("overwrite").partitionBy("__bucket").parquet(baseDir)
-        val newBase = listBucketFiles(baseDir, s"data/base-$version")
-        val b2 = m.buckets.filter { case (b, _) => !toCompact.contains(b) } ++ newBase
-        val d2 = deltas.map { case (b, fs) =>
-          b -> (if (toCompact.contains(b)) Seq.empty[String] else fs)
-        }
-        (b2, d2)
-      }
+      if (inlineCompaction) compactBuckets(m.buckets, deltas, version, batchId)
+      else (m.buckets, deltas)
 
     var lineageFiles = m.lineageFiles
     lineageDf.foreach { ldf =>
@@ -295,28 +323,112 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       signalFiles = signalFiles ++ listParquet(sdir, s"signals/$version")
     }
 
-    commitManifest(Manifest(batchId, buckets2, deltas2, lineageFiles, signalFiles))
-    if (autoVacuum) vacuum()
+    commitAndGc(m, Manifest(batchId, buckets2, deltas2, lineageFiles, signalFiles),
+      writtenThisCommit = newDeltaFiles.values.flatten.toSet)
     true
   }
 
-  /** Delete data files no retained manifest references (plus stranded
-    * manifest.tmp.* from crashed commits and expired manifest versions)
-    * and prune empty dirs. The live set is the UNION of the files
-    * referenced by the last [[retainManifests]] versioned manifests plus
-    * the current one — so time travel stays valid over the retention
-    * window (Iceberg expire_snapshots semantics). Lineage/signal files
-    * are append-only and never superseded, so only `data/` is swept.
-    * Safe post-commit: anything removed is invisible from every retained
-    * manifest.
+  /** Rewrite buckets whose delta chain reached maxDeltasPerBucket:
+    * base ∪ deltas resolved → new base for those buckets only.
+    */
+  private def compactBuckets(base: Map[Int, Seq[String]],
+      deltas: Map[Int, Seq[String]], version: String,
+      seq: Long): (Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
+    val toCompact = deltas.filter(_._2.size >= maxDeltasPerBucket).keySet
+    if (toCompact.isEmpty) (base, deltas)
+    else {
+      val files = toCompact.toSeq.sorted.flatMap(b =>
+        (base.getOrElse(b, Nil) ++ deltas.getOrElse(b, Nil)).map(f => s"$root/$f"))
+      val baseDir = s"$root/data/base-$version"
+      resolve(spark.read.parquet(files: _*))
+        .withColumn("__seq", lit(seq)) // compacted rows re-stamped; deltas are newer by construction
+        .withColumn("__bucket", bucketOf(keyCol))
+        .repartition(math.max(toCompact.size, 1), col("__bucket"))
+        .sortWithinPartitions(col(keyCol))
+        .write.mode("overwrite").partitionBy("__bucket").parquet(baseDir)
+      val newBase = listBucketFiles(baseDir, s"data/base-$version")
+      val b2 = base.filter { case (b, _) => !toCompact.contains(b) } ++ newBase
+      val d2 = deltas.map { case (b, fs) =>
+        b -> (if (toCompact.contains(b)) Seq.empty[String] else fs)
+      }
+      (b2, d2)
+    }
+  }
+
+  /** Deferred compaction (for tables built with inlineCompaction = false):
+    * rewrite every over-threshold bucket as its own commit, outside any
+    * micro-batch. Logical content and lastBatchId are unchanged — only the
+    * file layout. Returns true iff any bucket was compacted.
+    */
+  def compact(): Boolean = {
+    val m = readManifest()
+    if (!m.deltas.exists(_._2.size >= maxDeltasPerBucket)) return false
+    val (b2, d2) =
+      compactBuckets(m.buckets, m.deltas, s"v${m.lastBatchId}c", m.lastBatchId)
+    commitAndGc(m, m.copy(buckets = b2, deltas = d2))
+    true
+  }
+
+  /** Commit `next` and run incremental GC: files `prev` referenced but
+    * `next` doesn't enter the tombstone log; tombstones no retained
+    * versioned manifest references any more are deleted (with their log
+    * entry) and versioned manifests beyond the retention window expire.
+    * Cost: O(tombstones) + parsing ≤ retainManifests small manifests —
+    * never a data/ tree walk ([[vacuum]] remains for deep cleans of
+    * crash orphans).
+    *
+    * `writtenThisCommit` covers files created AND superseded inside one
+    * commit — inline compaction can consume the batch's own fresh delta
+    * files, which no manifest ever referenced; without this they'd be
+    * invisible to the tombstone log and leak.
+    */
+  private def commitAndGc(prev: Manifest, next0: Manifest,
+      writtenThisCommit: Set[String] = Set.empty): Unit = {
+    val newLive = next0.dataFiles.toSet
+    val tombstones =
+      (prev.removed ++
+        ((prev.dataFiles.toSet ++ writtenThisCommit) -- newLive)).distinct
+    if (!autoVacuum) {
+      commitManifest(next0.copy(removed = tombstones))
+      return
+    }
+    val versions = (manifestVersions() :+ next0.lastBatchId).distinct.sorted
+    val keep = versions.takeRight(retainManifests).toSet
+    val retainedLives: Set[String] = keep
+      .filter(v => v != next0.lastBatchId)
+      .flatMap { v =>
+        val p = Paths.get(root, s"manifest-v$v.json")
+        if (Files.exists(p)) parseManifest(Files.readString(p)).dataFiles else Nil
+      }
+    val deletable = tombstones
+      .filterNot(f => newLive.contains(f) || retainedLives.contains(f))
+    commitManifest(next0.copy(removed = tombstones.diff(deletable)))
+    versions.filterNot(keep)
+      .foreach(v => Files.deleteIfExists(Paths.get(root, s"manifest-v$v.json")))
+    deletable.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+  }
+
+  /** Deep clean (NOT on the per-commit path — [[commitAndGc]] handles the
+    * steady state incrementally from the tombstone log): full data/ walk
+    * deleting files no retained manifest references — including crash
+    * orphans no log entry covers — pruning empty dirs, expiring manifest
+    * versions beyond retention, deleting stranded manifest.tmp.* /
+    * manifest.vtmp.* and uncommitted manifest-v plants, and dropping
+    * tombstone-log entries whose files are gone. The live set is the
+    * UNION of the files referenced by the last [[retainManifests]]
+    * versioned manifests plus the current one — so time travel stays
+    * valid over the retention window (Iceberg expire_snapshots
+    * semantics). Lineage/signal files are append-only and never
+    * superseded, so only `data/` is swept. Safe post-commit: anything
+    * removed is invisible from every retained manifest.
     */
   def vacuum(): Unit = {
+    val m = readManifest()
     val versions = manifestVersions()
     val expired = versions.dropRight(retainManifests)
     expired.foreach(v => Files.deleteIfExists(Paths.get(root, s"manifest-v$v.json")))
     val retained = versions.takeRight(retainManifests).map(v =>
       parseManifest(Files.readString(Paths.get(root, s"manifest-v$v.json"))))
-    val m = readManifest()
     val live: Set[Path] =
       (m.dataFiles ++ retained.flatMap(_.dataFiles))
         .map(f => Paths.get(root, f).toAbsolutePath.normalize).toSet
@@ -337,9 +449,16 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     }
     val rootLs = Files.list(Paths.get(root))
     try rootLs.iterator().asScala
-      .filter(_.getFileName.toString.startsWith("manifest.tmp."))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("manifest.tmp.") || n.startsWith("manifest.vtmp.") ||
+          (n.startsWith("manifest-v") && n.endsWith(".json") &&
+            n.stripPrefix("manifest-v").stripSuffix(".json").toLong > m.lastBatchId)
+      }
       .toSeq.foreach(Files.delete)
     finally rootLs.close()
+    val keptRemoved = m.removed.filter(f => Files.exists(Paths.get(root, f)))
+    if (keptRemoved != m.removed) commitManifest(m.copy(removed = keptRemoved))
   }
 
   /** Live file count by kind — compaction/vacuum observability for tests. */

@@ -12,4 +12,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Drain the SparkListener event bus — lets tests assert on job counts
+    * deterministically (the bus is async; `waitUntilEmpty` is
+    * private[spark]).
+    */
+  def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

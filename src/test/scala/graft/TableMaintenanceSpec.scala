@@ -74,6 +74,74 @@ class TableMaintenanceSpec extends SparkSpec {
     intercept[IllegalArgumentException] { table.readAsOf(99L) }
   }
 
+  test("deferred compaction: merges never rewrite; compact() bounds chains out-of-band, content unchanged") {
+    val table = new IcebergLikeTable(tmpDir("defer") + "/t", numBuckets = 4,
+      maxDeltasPerBucket = 3, retainManifests = 1, inlineCompaction = false)
+    val keys = (0 until 16).map(i => s"conv-$i")
+    (0 until 10).foreach(b => assert(mergeBatch(table, b.toLong, keys.map(k => snap(k, b)))))
+    val (base0, delta0) = table.fileStats()
+    assert(base0 === 0 && delta0 >= 10,
+      s"no merge should have compacted (base=$base0 delta=$delta0)")
+    val before = table.read().as[ConvSnapshot].collect().sortBy(_.conv_id).toSeq
+    assert(table.compact())
+    val (base1, delta1) = table.fileStats()
+    assert(delta1 === 0, "every over-threshold bucket should be compacted")
+    val after = table.read().as[ConvSnapshot].collect().sortBy(_.conv_id).toSeq
+    assert(after === before, "compaction must not change logical content")
+    assert(!table.compact(), "nothing left over threshold")
+    assert(table.readManifest().lastBatchId === 9L, "compaction is not a new batch")
+    assert(table.dataFilesOnDisk() === base1 + delta1,
+      "incremental GC should have deleted the superseded delta chain")
+  }
+
+  test("a planted uncommitted versioned manifest is refused by readAsOf, hidden from history, cleared by vacuum") {
+    val dir = tmpDir("plant") + "/t"
+    val table = new IcebergLikeTable(dir, numBuckets = 4, retainManifests = 2)
+    (0 until 3).foreach(b => mergeBatch(table, b.toLong, Seq(snap("a", b))))
+    assert(table.manifestVersions() === Seq(1L, 2L))
+    // a version file for a batch that never committed (external interference
+    // or a pre-fix crash): must not surface as history or readable state
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "manifest-v99.json"),
+      "lastBatchId=99\nbucket:0=data/ghost.parquet\n")
+    assert(table.manifestVersions() === Seq(1L, 2L))
+    intercept[IllegalArgumentException] { table.readAsOf(99L) }
+    table.vacuum()
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "manifest-v99.json")))
+    assert(table.readAsOf(2L).count() === 1L, "committed history survives the deep clean")
+  }
+
+  test("point lookup launches exactly one job (the scan), agrees with the write-side hash, rejects wrong columns") {
+    // maxDeltasPerBucket=1 → the merge compacts immediately, so lookups hit
+    // the base-only path (a delta'd bucket legitimately pays the resolve
+    // shuffle; the point here is that the HASH no longer costs a job).
+    val table = new IcebergLikeTable(tmpDir("lk") + "/t", numBuckets = 4,
+      maxDeltasPerBucket = 1)
+    val keys = (0 until 16).map(i => s"conv-$i")
+    assert(mergeBatch(table, 0L, keys.map(k => snap(k, 3))))
+    // driver-local murmur3 bucket must agree with bucketOf for every key —
+    // a divergence would return 0 rows for keys landing in other buckets
+    keys.foreach { k =>
+      assert(table.lookup("conv_id", k).count() === 1L, s"lookup missed $k")
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = table.lookup("conv_id", "conv-7").collect().length
+      assert(n === 1)
+      org.apache.spark.sql.graftshim.Shim.waitListenerBus(spark.sparkContext)
+      assert(jobs.get() === 1,
+        s"lookup should cost exactly one job (the pruned scan), saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    intercept[IllegalArgumentException] { table.lookup("other_col", "x") }
+  }
+
   test("a batch retry after a partial write succeeds (overwrite, not ErrorIfExists)") {
     val dir = tmpDir("retry") + "/t"
     val table = new IcebergLikeTable(dir, numBuckets = 4)
