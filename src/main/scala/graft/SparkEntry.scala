@@ -37,6 +37,9 @@ object SparkEntry {
     "w2_sliding" -> (WindowQueries.w2Sliding _),
     "w3_session" -> (WindowQueries.w3Session _),
     "w4_tool_usage" -> (WindowQueries.w4ToolUsage _),
+    // the windowed analog of s1_stream_snapshot: append-mode streaming
+    // tumbling agg, watermark-closed into a parquet sink, then read back
+    "w1_stream_tumbling" -> (StreamQueries.w1StreamTumbling _),
     // the real streaming pipeline, end-to-end (S1/S4/A1/O1/G2, H1)
     "s1_stream_snapshot" -> (StreamQueries.s1StreamSnapshot _),
     "o1_lineage" -> (StreamQueries.o1Lineage _),
@@ -133,6 +136,7 @@ object SparkEntry {
     "w2_sliding" -> WindowQueries.w2SlidingSql,
     "w3_session" -> WindowQueries.w3SessionSql,
     "w4_tool_usage" -> WindowQueries.w4ToolUsageSql,
+    "w1_stream_tumbling" -> StreamQueries.w1StreamTumblingSql,
     "s1_stream_snapshot" -> StreamQueries.s1StreamSnapshotSql,
     "g1_stream_fanout" -> StreamQueries.g1StreamFanoutSql,
     "s1_ttl_snapshot" -> StreamQueries.s1StreamSnapshotSql, // same semantics, same oracle

@@ -141,20 +141,7 @@ object StreamQueries {
         val tmp = Files.createTempDirectory("graft-ttl-q").toString
         val inDir = s"$tmp/in"
         eventsAsTurns(s, d).repartitionByRange(4, col("ts")).write.parquet(inDir)
-        // FileStreamSource orders new files by (modification time, path);
-        // all four range files share a write-second, so stamp ascending
-        // mod-times in range order (part-0000N holds range N) — otherwise
-        // a late-range file can arrive first, jump the watermark, and
-        // late-drop whole earlier ranges.
-        val parts = Files.list(java.nio.file.Paths.get(inDir))
-        try {
-          parts.iterator().asScala.toSeq
-            .filter(_.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
-            .zipWithIndex.foreach { case (p, i) =>
-              Files.setLastModifiedTime(p,
-                java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-            }
-        } finally parts.close()
+        stampAscending(inDir) // arrival order = time order (see helper doc)
         val stream = s.readStream.schema(Schemas.turn)
           .option("maxFilesPerTrigger", "1").parquet(inDir).as[Turn]
         val table = new IcebergLikeTable(s"$tmp/table", 8,
@@ -183,6 +170,98 @@ object StreamQueries {
       col("turn_count"),
       unix_micros(col("first_ts")).as("first_ts_us"),
       unix_micros(col("last_ts")).as("last_ts_us"))
+
+  /** Stamp ascending mod-times onto `inDir`'s parquet files in name order
+    * (FileStreamSource orders new files by (modification time, path); all
+    * parts of one write share a write-second, so a late-range file could
+    * otherwise arrive first, jump the watermark, and late-drop earlier
+    * ranges). Returns the stamped file set. `from` continues a previous
+    * stamping so later writes into the same dir arrive strictly after.
+    */
+  private def stampAscending(inDir: String, from: Int = 0): Set[java.nio.file.Path] = {
+    val parts = Files.list(java.nio.file.Paths.get(inDir))
+    try {
+      val ps = parts.iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
+      ps.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + (from + i) * 60000L))
+      }
+      ps.toSet
+    } finally parts.close()
+  }
+
+  // ---- streaming windowed aggregation (append mode, watermark-closed) --
+  private val windowCache = mutable.Map[(SparkSession, String), String]()
+
+  /** Runs a REAL streaming tumbling-window aggregation: file stream (5
+    * micro-batches, time-ordered) → 1-minute watermark → 5-minute window
+    * agg → append-mode parquet sink. Append mode only emits a window once
+    * the watermark passes its end, so a far-future SENTINEL row is
+    * appended to the stream input (arriving last): it drives the
+    * watermark beyond every real window — flushing them to the sink —
+    * while its own window never closes and never reaches the sink. The
+    * read-back therefore equals the batch aggregation over the events
+    * table exactly, which is what the DuckDB oracle checks.
+    */
+  private def runWindowPipeline(s: SparkSession, d: String): String =
+    windowCache.synchronized {
+      windowCache.getOrElseUpdate((s, d), {
+        import s.implicits._
+        val tmp = Files.createTempDirectory("graft-window-q").toString
+        val inDir = s"$tmp/in"
+        val src = Tables.events(s, d)
+          .select(col("ts"), col("value").cast("double").as("value"))
+        src.repartitionByRange(4, col("ts")).write.parquet(inDir)
+        val stamped = stampAscending(inDir)
+        val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
+        Seq((new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000), 0.0))
+          .toDF("ts", "value").coalesce(1).write.mode("append").parquet(inDir)
+        val sentinelFiles = {
+          val ls = Files.list(java.nio.file.Paths.get(inDir))
+          try ls.iterator().asScala.toSeq
+            .filter(p => p.toString.endsWith(".parquet") && !stamped.contains(p))
+          finally ls.close()
+        }
+        sentinelFiles.foreach(p => Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + 1000L * 60000L)))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType)))
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val outDir = s"$tmp/out"
+        val q = stream.withWatermark("ts", "1 minute")
+          .groupBy(window(col("ts"), "5 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).as("value_sum_dec"))
+          .select(unix_seconds(col("window.start")).as("window_start_s"),
+            col("n_events"),
+            col("value_sum_dec").cast("double").as("value_sum"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .format("parquet").option("path", outDir)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        outDir
+      })
+    }
+
+  /** Streaming tumbling window, DuckDB-oracled against the batch SQL —
+    * the windowed analog of what s1_stream_snapshot proves for the fold.
+    */
+  def w1StreamTumbling(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(runWindowPipeline(s, d))
+      .select(col("window_start_s"), col("n_events"), col("value_sum"))
+
+  val w1StreamTumblingSql: String =
+    """SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS window_start_s,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+       FROM events GROUP BY 1"""
 
   // ---- G1: streaming multi-target fan-out -----------------------------
   /** The two per-target filters mirror the batch g1_fanout exhibit. */
