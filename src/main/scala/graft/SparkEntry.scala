@@ -94,6 +94,11 @@ object SparkEntry {
     // against pure exact-Jaccard SQL: green ⟺ the LSH stage found EVERY
     // true pair on this corpus (machine-checked recall=1.0), since a
     // missed candidate can never reach the output.
+    // FIXTURE-DEPENDENT oracle (like approx_distinct below): recall=1.0
+    // is a corpus property, validated on the driver's sf0.001-0.1
+    // fixtures. A red row on a NEW fixture means the data's similarity
+    // structure moved past the banding parameters (b=32, r=2 ⇒ ~50%
+    // threshold), not that the engine regressed — triage accordingly.
     "dedup_minhash" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
       val cands = graft.dedup.Dedup.minhashCandidates(
@@ -165,6 +170,10 @@ object SparkEntry {
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> graft.ann.Ann.lshTopKSql(queryId = 0L, k = 10, dim = 64,
       bands = 4, planesPerBand = 4),
+    // FIXTURE-DEPENDENT oracle: the 5% HLL error bound is asserted as the
+    // oracled column; rsd=0.05 is a standard deviation, not a hard bound,
+    // so an unlucky new fixture could exceed it without an engine bug
+    // (validated on the driver's sf0.001-0.1 fixtures).
     "approx_distinct" -> RelationalQueries.approxDistinctSql,
     "dedup_minhash" -> dedupMinhashVerifiedSql,
     "dedup_simhash" -> graft.dedup.Dedup.simhashCandidatesOracleSql,

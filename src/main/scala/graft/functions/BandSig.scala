@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Random-hyperplane LSH band signatures of a float-array embedding:
   * `bands` longs, each packing `planesPerBand` sign bits of hyperplane dot
@@ -29,6 +30,14 @@ case class BandSig(child: Expression, bands: Int, planesPerBand: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "band_sig"
+
+  // reject array<double>/array<string> at analysis time — getFloat on a
+  // non-float array would silently produce garbage signatures
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> input, got ${other.simpleString}")
+  }
 
   @transient private lazy val planeCache =
     new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Double]]]()

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression: cosine similarity of two float-array
   * embeddings, computed in double with sequential accumulation (bit-equal
@@ -20,9 +21,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs: two array<float> columns (unchecked — internal function)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  // both inputs must be array<float>: getFloat on any other element type
+  // would silently return garbage scores
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> inputs, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -62,4 +73,50 @@ case class CosineSim(left: Expression, right: Expression)
 object GraftFunctions {
   def cosine_sim(a: Column, b: Column): Column =
     Shim.column(CosineSim(Shim.expression(a), Shim.expression(b)))
+
+  def band_sig(c: Column, bands: Int, planesPerBand: Int): Column =
+    BandSig(c, bands, planesPerBand)
+
+  private[functions] def cosineSimBuilder(
+      args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"cosine_sim takes 2 arguments, got ${args.length}")
+    CosineSim(args(0), args(1))
+  }
+
+  private[functions] def bandSigBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3,
+      s"band_sig takes (embedding, bands, planesPerBand), got ${args.length} args")
+    def intArg(e: Expression, what: String): Int = e.eval(null) match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"band_sig $what must be an integer literal, got $other")
+    }
+    BandSig(args(0), intArg(args(1), "bands"), intArg(args(2), "planesPerBand"))
+  }
+
+  /** Make the native functions reachable from SQL text on an existing
+    * session: `SELECT cosine_sim(embedding, q_emb)`,
+    * `SELECT band_sig(embedding, 4, 4)`.
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Shim.registerFunction(spark, "cosine_sim", cosineSimBuilder)
+    Shim.registerFunction(spark, "band_sig", bandSigBuilder)
+  }
+}
+
+/** Session-extension registration (`spark.sql.extensions=
+  * graft.functions.GraftExtensions`) — the SparkSessionExtensions route
+  * for sessions the caller doesn't construct imperatively.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      GraftFunctions.cosineSimBuilder))
+    ext.injectFunction((FunctionIdentifier("band_sig"),
+      new ExpressionInfo(classOf[BandSig].getName, "band_sig"),
+      GraftFunctions.bandSigBuilder))
+  }
 }

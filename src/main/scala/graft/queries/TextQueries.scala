@@ -94,22 +94,27 @@ object TextQueries {
     * split count. Narrow, codegen'd, scale-linear.
     */
   def tokenCounts(s: SparkSession, d: String): DataFrame = {
-    val bpePat = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    // explicit whitespace class, NOT \s: Java \s matches vertical tab
+    // \x0B but RE2/DuckDB \s does not — a VT-bearing document would
+    // diverge engine-vs-oracle
+    val ws = " \\t\\n\\r\\f"
+    val bpePat = s"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9$ws]+|[$ws]+"
     Tables.documents(s, d).select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(bpePat), lit(0)))
         .cast("long").as("n_bpe_tokens"),
       when(length(trim(col("text"))) === 0, lit(0L))
-        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        .otherwise(size(split(trim(col("text")), s"[$ws]+")).cast("long"))
         .as("n_ws_tokens"))
   }
 
   val tokenCountsSql: String =
     """SELECT doc_id,
        len(regexp_extract_all(text,
-         '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS n_bpe_tokens,
+         '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f]+|[ \t\n\r\f]+'))
+         AS n_bpe_tokens,
        CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws_tokens
+            ELSE len(string_split_regex(trim(text), '[ \t\n\r\f]+')) END AS n_ws_tokens
        FROM documents"""
 
   /** Document fingerprint: digest of whitespace/punctuation-normalized

@@ -22,9 +22,15 @@ import org.apache.spark.sql.functions._
 object Salting {
 
   /** Salted batch snapshot fold, semantically identical to
-    * [[graft.snapshot.SnapshotFold.batchSnapshots]].
+    * [[graft.snapshot.SnapshotFold.batchSnapshots]]. With
+    * `includeToolCounts` the histogram — the actually skew-prone
+    * aggregate — also runs two-phase: per-(conv_id, salt, tool) partials,
+    * summed per (conv_id, tool), then recombined into one canonical map
+    * per key (the same merge [[graft.snapshot.SnapshotTtl]] does across
+    * generations).
     */
-  def saltedBatchSnapshots(turns: DataFrame, salts: Int = 16): DataFrame = {
+  def saltedBatchSnapshots(turns: DataFrame, salts: Int = 16,
+      includeToolCounts: Boolean = false): DataFrame = {
     val salted = turns.withColumn("__salt",
       pmod(hash(col("conv_id"), col("turn_idx")), lit(salts)))
     val partial = salted.groupBy(col("conv_id"), col("__salt")).agg(
@@ -34,7 +40,7 @@ object Salting {
       count(lit(1)).as("turn_count"),
       min(col("ts")).as("first_ts"),
       max(col("ts")).as("last_ts"))
-    partial.groupBy(col("conv_id")).agg(
+    val base = partial.groupBy(col("conv_id")).agg(
       max_by(col("last"), struct(col("last.turn_idx"), col("last.ts"))).as("last"),
       sum(col("turn_count")).as("turn_count"),
       min(col("first_ts")).as("first_ts"),
@@ -46,5 +52,22 @@ object Salting {
         col("last.tool").as("last_tool"),
         col("last.text").as("last_text"),
         col("turn_count"), col("first_ts"), col("last_ts"))
+    if (!includeToolCounts) base
+    else {
+      val tc = salted.filter(col("tool") =!= "")
+        .groupBy(col("conv_id"), col("__salt"), col("tool"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("conv_id"), col("tool")).agg(sum(col("cnt")).as("cnt"))
+        .groupBy(col("conv_id"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("tool"), col("cnt")))))
+          .as("tool_counts"))
+      base.join(tc, Seq("conv_id"), "left")
+        .select(col("conv_id"), col("last_turn_idx"), col("last_role"),
+          col("last_tool"), col("last_text"), col("turn_count"),
+          coalesce(col("tool_counts"),
+            map().cast("map<string,bigint>")).as("tool_counts"),
+          col("first_ts"), col("last_ts"))
+    }
   }
 }

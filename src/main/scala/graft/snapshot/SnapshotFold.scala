@@ -155,12 +155,29 @@ object SnapshotFold {
       .map(_._2)
   }
 
+  /** Canonical per-key tool histogram as an untyped two-level aggregation:
+    * (conv_id, tool) counts — partial-agg'd map-side, so the skew-prone
+    * histogram merges distributively — then one map_from_entries over the
+    * tool-sorted entry list (the untyped analog of [[canonMap]]).
+    */
+  def toolCountsByKey(turns: DataFrame): DataFrame =
+    turns.filter(col("tool") =!= "")
+      .groupBy(col("conv_id"), col("tool")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("conv_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("tool"), col("cnt")))))
+        .as("tool_counts"))
+
   /** Untyped DataFrame form — whole-stage-codegen'd; the oracle shape.
     * `max_by(struct(...), struct(turn_idx, ts))` = last-writer-wins with
-    * the deterministic (turn_idx, ts) tie-break.
+    * the deterministic (turn_idx, ts) tie-break. `includeToolCounts`
+    * additionally joins in [[toolCountsByKey]] (two extra conv_id-keyed
+    * shuffles) so the untyped form covers EVERY ConvSnapshot field;
+    * callers that don't need the histogram keep the single-shuffle plan.
     */
-  def batchSnapshots(turns: DataFrame): DataFrame =
-    turns.groupBy(col("conv_id")).agg(
+  def batchSnapshots(turns: DataFrame,
+      includeToolCounts: Boolean = false): DataFrame = {
+    val base = turns.groupBy(col("conv_id")).agg(
       max_by(
         struct(col("turn_idx"), col("role"), col("tool"), col("text")),
         struct(col("turn_idx"), col("ts"))).as("last"),
@@ -174,4 +191,12 @@ object SnapshotFold {
         col("last.tool").as("last_tool"),
         col("last.text").as("last_text"),
         col("turn_count"), col("first_ts"), col("last_ts"))
+    if (!includeToolCounts) base
+    else base.join(toolCountsByKey(turns), Seq("conv_id"), "left")
+      .select(col("conv_id"), col("last_turn_idx"), col("last_role"),
+        col("last_tool"), col("last_text"), col("turn_count"),
+        coalesce(col("tool_counts"),
+          map().cast("map<string,bigint>")).as("tool_counts"),
+        col("first_ts"), col("last_ts"))
+  }
 }

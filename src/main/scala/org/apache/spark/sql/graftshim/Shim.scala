@@ -19,4 +19,13 @@ object Shim {
     */
   def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** Register a native-Expression SQL function on an EXISTING session
+    * (the FunctionRegistry is private[sql]; new sessions can instead use
+    * graft.functions.GraftExtensions via spark.sql.extensions).
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
 }

@@ -43,24 +43,28 @@ class SnapshotFoldSpec extends SparkSpec {
     }
   }
 
-  test("typed Aggregator == DataFrame max_by form == salted two-phase form") {
+  test("typed Aggregator == DataFrame max_by form == salted two-phase form, ALL ConvSnapshot fields incl. tool_counts") {
     import spark.implicits._
     val ds = spark.createDataset(allTurns)
     val typed = SnapshotFold.typedSnapshots(ds)
       .collect().map(s => s.conv_id -> s).toMap
-    val untyped = SnapshotFold.batchSnapshots(ds.toDF())
+    val untyped = SnapshotFold.batchSnapshots(ds.toDF(), includeToolCounts = true)
       .as[BatchSnap].collect().map(s => s.conv_id -> s).toMap
-    val salted = Salting.saltedBatchSnapshots(ds.toDF())
+    val salted = Salting.saltedBatchSnapshots(ds.toDF(), includeToolCounts = true)
       .as[BatchSnap].collect().map(s => s.conv_id -> s).toMap
     assert(typed.keySet === untyped.keySet)
     assert(untyped === salted)
     typed.foreach { case (k, t) =>
       val u = untyped(k)
       assert((t.last_turn_idx, t.last_role, t.last_tool, t.last_text,
-        t.turn_count, t.first_ts, t.last_ts) ===
+        t.turn_count, t.tool_counts, t.first_ts, t.last_ts) ===
         (u.last_turn_idx, u.last_role, u.last_tool, u.last_text,
-          u.turn_count, u.first_ts, u.last_ts))
+          u.turn_count, u.tool_counts, u.first_ts, u.last_ts))
     }
+    // the histogram is non-trivial on this corpus (not vacuously equal)
+    assert(typed.values.exists(_.tool_counts.nonEmpty))
+    // the flag off keeps the single-shuffle schema (no histogram column)
+    assert(!SnapshotFold.batchSnapshots(ds.toDF()).columns.contains("tool_counts"))
   }
 
   test("tool_counts sums to the number of tool-bearing turns") {
@@ -80,4 +84,5 @@ class SnapshotFoldSpec extends SparkSpec {
 
 final case class BatchSnap(conv_id: String, last_turn_idx: Int,
     last_role: String, last_tool: String, last_text: String,
-    turn_count: Long, first_ts: Timestamp, last_ts: Timestamp)
+    turn_count: Long, tool_counts: Map[String, Long],
+    first_ts: Timestamp, last_ts: Timestamp)
