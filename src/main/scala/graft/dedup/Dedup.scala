@@ -61,24 +61,31 @@ object Dedup {
     * doc). `rows` carries one row per (doc_id, bucket-key...) plus a
     * per-doc `payload` column (the signature). Buckets ≤ maxBucket emit
     * all pairs; larger buckets emit star pairs to the min-doc_id
-    * representative. The stats join shares the (bucket-key) shuffle key
-    * with the pair join, and the star side's representative-payload join
-    * only touches hot-bucket members (normally zero rows).
+    * representative.
+    *
+    * Scale shape: the guard taxes the healthy path with ONE extra
+    * hash-aggregation (map-side partial combine, stat rows only cross the
+    * wire) whose output is filtered to the hot buckets BEFORE a broadcast
+    * join — degenerate buckets are rare by nature, so the broadcast is
+    * tiny and the big banded side never shuffles for tagging. The star
+    * side's representative-payload join touches hot-bucket members only
+    * (normally zero rows).
     */
   private def guardedSelfPairs(rows: DataFrame, keyCols: Seq[String],
       payload: String, maxBucket: Int): DataFrame = {
     val pa = s"${payload}_a"; val pb = s"${payload}_b"
-    val stats = rows.groupBy(keyCols.map(col): _*)
+    val hotStats = rows.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__rep"))
-    val tagged = rows.join(stats, keyCols)
-    val small = tagged.filter(col("__n") <= maxBucket)
+      .filter(col("__n") > maxBucket)
+    val tagged = rows.join(broadcast(hotStats), keyCols, "left")
+    val small = tagged.filter(col("__n").isNull)
     val allPairs = small.as("a").join(small.as("b"),
       keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col(s"a.$payload").as(pa), col(s"b.$payload").as(pb))
     val hotMembers = tagged
-      .filter(col("__n") > maxBucket && col("doc_id") =!= col("__rep"))
+      .filter(col("__n").isNotNull && col("doc_id") =!= col("__rep"))
       .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"),
         col(payload).as(pb))
       .dropDuplicates("doc_a", "doc_b")
