@@ -63,6 +63,21 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => graft.ann.Ann.ivfTopK(
       Tables.embeddings(s, d), queryId = 0L, k = 10,
       numCentroids = 16, nProbe = 4)),
+    // Point-in-time join: attribute each click to the user's most recent
+    // view at-or-before it (null when none). One keyed shuffle + window —
+    // oracled against DuckDB's NATIVE ASOF LEFT JOIN, so the oracle is an
+    // independent as-of implementation, not a SQL transliteration of ours.
+    "asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_event_id"))
+      graft.join.AsOfJoin.asOf(clicks, views, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", rightCols = Seq("view_event_id"),
+        matchedTsAs = "view_ts")
+    }),
     "j1_join_broadcast" -> (RelationalQueries.j1JoinBroadcast _),
     "j2_join_shuffle" -> (RelationalQueries.j2JoinShuffle _),
     "q1_agg" -> (RelationalQueries.q1Agg _),
@@ -106,6 +121,21 @@ object SparkEntry {
       TextQueries.ngramJaccard(s, d)
         .join(cands, Seq("doc_a", "doc_b"), "left_semi")
         .select(col("doc_a"), col("doc_b"))
+    }),
+    // Duplicate CLASSES from the candidate pairs: distributed connected
+    // components (large-star/small-star) over the verified near-dup pair
+    // graph, one (doc_id, cluster_id=min of class) row per document —
+    // the clustering stage the hot-bucket guard's star emission relies
+    // on. Oracled against a DuckDB recursive-CTE transitive closure of
+    // the same exact-Jaccard pair set.
+    "dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val cands = graft.dedup.Dedup.minhashCandidates(
+        docs, "doc_id", "text", numHashes = 64, rowsPerBand = 2)
+      val truePairs = TextQueries.ngramJaccard(s, d)
+        .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+      graft.dedup.ConnectedComponents.clusters(
+        docs.select("doc_id"), "doc_id", truePairs, "doc_a", "doc_b")
     }),
     // SimHash near-dup candidates over the oracle-reproducible (md5-based)
     // token hash: chunk-LSH join + exact hamming filter. The oracle is the
@@ -153,6 +183,7 @@ object SparkEntry {
     "wf_rank_funcs" -> RelationalQueries.wfRankFuncsSql,
     "ann_ivf" -> graft.ann.Ann.ivfTopKSql(queryId = 0L, k = 10,
       numCentroids = 16, nProbe = 4),
+    "asof_join" -> asofJoinSql,
     "j1_join_broadcast" -> RelationalQueries.j1JoinBroadcastSql,
     "j2_join_shuffle" -> RelationalQueries.j2JoinShuffleSql,
     "q1_agg" -> RelationalQueries.q1AggSql,
@@ -176,6 +207,7 @@ object SparkEntry {
     // (validated on the driver's sf0.001-0.1 fixtures).
     "approx_distinct" -> RelationalQueries.approxDistinctSql,
     "dedup_minhash" -> dedupMinhashVerifiedSql,
+    "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> graft.dedup.Dedup.simhashCandidatesOracleSql,
     "emb_neardup" -> embNearDupSql,
     "mm_decode" -> mmDecodeSql,
@@ -215,6 +247,58 @@ object SparkEntry {
        JOIN sizes sa ON sa.doc_id = doc_a
        JOIN sizes sb ON sb.doc_id = doc_b
        WHERE inter * 2 >= sa.n_sh + sb.n_sh - inter"""
+
+  /** DuckDB's native ASOF LEFT JOIN — an independent point-in-time-join
+    * implementation as ground truth for the union+window formulation.
+    * Views are pre-deduped to one row per (user_id, ts) so the match is
+    * deterministic on both engines.
+    */
+  private val asofJoinSql: String =
+    """WITH clicks AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+       views AS (
+         SELECT user_id, ts, max(event_id) AS view_event_id
+         FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+       SELECT c.event_id, c.user_id, c.ts,
+              v.view_event_id, v.ts AS view_ts
+       FROM clicks c ASOF LEFT JOIN views v
+         ON c.user_id = v.user_id AND c.ts >= v.ts"""
+
+  /** Transitive closure of the exact-Jaccard near-dup pair graph via a
+    * recursive CTE: for every doc < 300, the min doc id reachable through
+    * pair edges (self included) — exactly the cluster assignment the
+    * large-star/small-star pass must produce.
+    */
+  private val dedupClustersSql: String =
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         FROM documents WHERE doc_id < 300),
+       shl AS (
+         SELECT doc_id,
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2)] AS shs
+         FROM docs WHERE len(w) >= 3),
+       sh AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM shl),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       cnts AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       tp AS (
+         SELECT doc_a, doc_b
+         FROM cnts
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE inter * 2 >= sa.n_sh + sb.n_sh - inter),
+       edges AS (SELECT doc_a AS s, doc_b AS t FROM tp
+                 UNION SELECT doc_b, doc_a FROM tp),
+       reach(node, r) AS (
+         SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+         UNION
+         SELECT e.t, r.r FROM reach r JOIN edges e ON e.s = r.node)
+       SELECT CAST(node AS BIGINT) AS doc_id,
+              CAST(min(r) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY node"""
 
   private val annBruteforceSql: String =
     """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
