@@ -80,6 +80,23 @@ object SparkEntry {
     }),
     "j1_join_broadcast" -> (RelationalQueries.j1JoinBroadcast _),
     "j2_join_shuffle" -> (RelationalQueries.j2JoinShuffle _),
+    // Interval-containment join via binning (equi-join on time bin +
+    // residual filter — no BroadcastNestedLoop): for each error event,
+    // how many 30-min-gap sessions (any user) were active at its ts.
+    "range_join" -> ((s, d) => {
+      val sessions = WindowQueries.w3Session(s, d)
+        .select(col("session_start_us"), col("session_end_us"))
+      val errors = Tables.events(s, d).filter(col("event_type") === "error")
+        .select(col("event_id"), unix_micros(col("ts")).as("pt"))
+      val pairs = graft.join.RangeJoin.pointInInterval(errors, "pt",
+        sessions, "session_start_us", "session_end_us",
+        binWidth = 3600L * 1000000L)
+      errors.select(col("event_id")).join(
+        pairs.groupBy(col("event_id")).agg(count(lit(1)).as("n_active")),
+        Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_active"), lit(0L)).as("n_active_sessions"))
+    }),
     "q1_agg" -> (RelationalQueries.q1Agg _),
     "topk_hot_keys" -> (RelationalQueries.topkHotKeys _),
     "set_except" -> (RelationalQueries.setExcept _),
@@ -184,6 +201,7 @@ object SparkEntry {
     "ann_ivf" -> graft.ann.Ann.ivfTopKSql(queryId = 0L, k = 10,
       numCentroids = 16, nProbe = 4),
     "asof_join" -> asofJoinSql,
+    "range_join" -> rangeJoinSql,
     "j1_join_broadcast" -> RelationalQueries.j1JoinBroadcastSql,
     "j2_join_shuffle" -> RelationalQueries.j2JoinShuffleSql,
     "q1_agg" -> RelationalQueries.q1AggSql,
@@ -247,6 +265,34 @@ object SparkEntry {
        JOIN sizes sa ON sa.doc_id = doc_a
        JOIN sizes sb ON sb.doc_id = doc_b
        WHERE inter * 2 >= sa.n_sh + sb.n_sh - inter"""
+
+  /** Plain inequality join as ground truth for the binned range join:
+    * same session definition as w3SessionSql, then per error event the
+    * count of sessions containing its timestamp (0 kept via LEFT JOIN).
+    */
+  private val rangeJoinSql: String =
+    """WITH flagged AS (
+         SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL '30 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+         FROM events),
+       numbered AS (
+         SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM flagged),
+       sess AS (
+         SELECT epoch_us(min(ts)) AS lo,
+                epoch_us(max(ts) + INTERVAL '30 minutes') AS hi
+         FROM numbered GROUP BY user_id, session_id),
+       errors AS (
+         SELECT event_id, epoch_us(ts) AS pt
+         FROM events WHERE event_type = 'error')
+       SELECT e.event_id, CAST(count(s.lo) AS BIGINT) AS n_active_sessions
+       FROM errors e LEFT JOIN sess s ON e.pt >= s.lo AND e.pt < s.hi
+       GROUP BY 1"""
 
   /** DuckDB's native ASOF LEFT JOIN — an independent point-in-time-join
     * implementation as ground truth for the union+window formulation.
