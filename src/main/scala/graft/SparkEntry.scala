@@ -80,6 +80,19 @@ object SparkEntry {
     }),
     "j1_join_broadcast" -> (RelationalQueries.j1JoinBroadcast _),
     "j2_join_shuffle" -> (RelationalQueries.j2JoinShuffle _),
+    // Manual skew remedy on the join side (north rule): deterministic
+    // salted join — hot probe keys spread over 8 salt slices, dim side
+    // replicated — must be row-identical to the plain join, so the
+    // oracle IS the plain join.
+    "skew_join_salted" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_user_events"))
+      graft.skew.Salting.saltedJoin(
+        ev.select(col("event_id"), col("user_id")), dim,
+        keys = Seq("user_id"), saltCols = Seq("event_id"), salts = 8)
+        .select(col("event_id"), col("user_id"), col("n_user_events"))
+    }),
     // Interval-containment join via binning (equi-join on time bin +
     // residual filter — no BroadcastNestedLoop): for each error event,
     // how many 30-min-gap sessions (any user) were active at its ts.
@@ -202,6 +215,11 @@ object SparkEntry {
       numCentroids = 16, nProbe = 4),
     "asof_join" -> asofJoinSql,
     "range_join" -> rangeJoinSql,
+    "skew_join_salted" -> """
+       SELECT e.event_id, e.user_id, t.n_user_events
+       FROM events e JOIN (
+         SELECT user_id, count(*) AS n_user_events
+         FROM events GROUP BY 1) t USING (user_id)""",
     "j1_join_broadcast" -> RelationalQueries.j1JoinBroadcastSql,
     "j2_join_shuffle" -> RelationalQueries.j2JoinShuffleSql,
     "q1_agg" -> RelationalQueries.q1AggSql,

@@ -21,6 +21,29 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Salted equi-join for a skewed probe side joining a replicable dim
+    * side — the MANUAL analog of AQE skew-join splitting, for the places
+    * AQE can't re-plan (streaming micro-batches pin their shuffle layout;
+    * broadcast-unable mid-size dims; stateful joins). The skewed side
+    * computes salt = pmod(hash(saltCols), salts) — deterministic, so
+    * replays are stable — and the dim side replicates each row to ALL
+    * `salts` salt values; the join key becomes (keys..., salt), spreading
+    * a hot key over `salts` reducers. Result set is identical to the
+    * unsalted join (every skewed row still meets every same-key dim row,
+    * exactly once, in its salt slice); cost is dim × salts replication —
+    * pick salts ≈ hot-key-rows / average-partition-rows.
+    */
+  def saltedJoin(skewed: DataFrame, dim: DataFrame, keys: Seq[String],
+      saltCols: Seq[String], salts: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val left = skewed.withColumn("__salt",
+      pmod(hash(saltCols.map(col): _*), lit(salts)))
+    val right = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    left.join(right, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Salted batch snapshot fold, semantically identical to
     * [[graft.snapshot.SnapshotFold.batchSnapshots]]. With
     * `includeToolCounts` the histogram — the actually skew-prone
