@@ -54,6 +54,8 @@ object SparkEntry {
     "agg_typed_fold" -> (StreamQueries.aggTypedFold _),
     "rollup_agg" -> (RelationalQueries.rollupAgg _),
     "approx_distinct" -> (RelationalQueries.approxDistinct _),
+    "approx_quantiles" -> (RelationalQueries.approxQuantiles _),
+    "cms_counts" -> (RelationalQueries.cmsCounts _),
     "ann_expr" -> ((s, d) => graft.ann.Ann.bruteForceTopKExpr(
       Tables.embeddings(s, d), queryId = 0L, k = 10)),
     // relational surface (SURVEY.md §2.2)
@@ -242,6 +244,8 @@ object SparkEntry {
     // so an unlucky new fixture could exceed it without an engine bug
     // (validated on the driver's sf0.001-0.1 fixtures).
     "approx_distinct" -> RelationalQueries.approxDistinctSql,
+    "approx_quantiles" -> RelationalQueries.approxQuantilesSql,
+    "cms_counts" -> RelationalQueries.cmsCountsSql,
     "dedup_minhash" -> dedupMinhashVerifiedSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> graft.dedup.Dedup.simhashCandidatesOracleSql,

@@ -274,4 +274,59 @@ object RelationalQueries {
        octet_length(encode(text)) AS payload_bytes,
        TRUE AS gzip_roundtrip_ok
        FROM documents"""
+
+  /** Approximate quantiles via the mergeable rank sketch behind
+    * `percentile_approx` (partial sketches per partition, merged at one
+    * reducer — raw values never shuffle). The oracled claim is the RANK
+    * GUARANTEE itself: with accuracy a, the returned value's rank
+    * interval must intersect [(q−1/a)·N, (q+1/a)·N] — verified against
+    * exact ranks computed from the data, per quantile.
+    */
+  def approxQuantiles(s: SparkSession, d: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val acc = 1000
+    val ev = Tables.events(s, d).select(col("value"))
+    val sk = ev.agg(
+      percentile_approx(col("value"), array(qs.map(lit): _*), lit(acc)).as("vs"),
+      count(lit(1)).as("n"))
+    val qv = sk.select(posexplode(col("vs")).as(Seq("i", "v")), col("n"))
+      .withColumn("q", element_at(array(qs.map(lit): _*), col("i") + 1))
+    ev.crossJoin(broadcast(qv))
+      .groupBy(col("q"), col("v"), col("n"))
+      .agg(sum(when(col("value") <= col("v"), 1L).otherwise(0L)).as("rank_le"),
+        sum(when(col("value") < col("v"), 1L).otherwise(0L)).as("rank_lt"))
+      .select(col("q"),
+        (col("rank_le").cast("double") >= (col("q") - 1.0 / acc) * col("n") &&
+          col("rank_lt").cast("double") <= (col("q") + 1.0 / acc) * col("n"))
+          .as("within_rank_bound"))
+  }
+
+  val approxQuantilesSql: String =
+    """SELECT q, TRUE AS within_rank_bound
+       FROM (VALUES (0.25), (0.5), (0.9), (0.99)) t(q)"""
+
+  /** Count-Min heavy-hitter counts ([[graft.functions.CountMin]]): the
+    * sketch is built in ONE mergeable aggregate over the full stream;
+    * per-key estimates must sit in [exact, exact + ε·N] — the lower
+    * bound is the sketch's deterministic guarantee, the upper holds
+    * w.h.p. and is FIXTURE-DEPENDENT like approx_distinct's.
+    */
+  def cmsCounts(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CountMin
+    val ev = Tables.events(s, d)
+    val sk = ev.agg(CountMin.sketch(col("event_type")).as("sk"),
+      count(lit(1)).as("n"))
+    val exact = ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_n"))
+    exact.crossJoin(broadcast(sk))
+      .withColumn("est", CountMin.estimate(col("sk"), col("event_type")))
+      .select(col("event_type"), col("exact_n"),
+        (col("est") >= col("exact_n") &&
+          col("est").cast("double") <=
+            col("exact_n").cast("double") + lit(CountMin.Eps) * col("n"))
+          .as("within_cms_bound"))
+  }
+
+  val cmsCountsSql: String =
+    """SELECT event_type, count(*) AS exact_n, TRUE AS within_cms_bound
+       FROM events GROUP BY 1"""
 }
