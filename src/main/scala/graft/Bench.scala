@@ -125,7 +125,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // --- driver-table query timings -----------------------------------
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1,q2 narrows to a subset for focused A/B probes
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -136,6 +140,16 @@ object Bench {
     }
 
     // --- north-rule headline: snapshot build + replay throughput ------
+    // (skipped in SPARK_GRAFT_ONLY probe mode — the subset timing is the
+    // point there, not the headline)
+    if (only.isDefined) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"subset","value":${results.map(_._2).sum},""" +
+        s""""unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     val files = 32
     val (turnsDir, rows) = writeTurns(spark, nTurns, files)
     val (_, batchFoldS) = time {
