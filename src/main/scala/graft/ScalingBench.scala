@@ -95,6 +95,19 @@ object ScalingBench {
               col("text")),
           "doc_id", "text", numHashes = 32))
       }),
+      // as-of self-join at transcript scale: every turn gets the most
+      // recent prior tool turn of its conversation — union + ONE keyed
+      // shuffle + per-conv sort (the SMJ cost shape, no range blowup)
+      "asof_tool" -> (() => best {
+        val t = spark.read.parquet(SharedInput)
+        val tools = t.filter(col("tool") =!= "")
+          .select(col("conv_id"), col("ts").as("tool_ts"),
+            col("tool").as("prior_tool"))
+        noop(graft.join.AsOfJoin.asOf(
+          t.select("conv_id", "turn_idx", "ts"), tools,
+          Seq("conv_id"), "ts", "tool_ts", Seq("prior_tool"),
+          matchedTsAs = "prior_tool_ts"))
+      }),
       "stream_fold" -> (() => (1 to reps).map(_ =>
         Bench.streamFoldOnly(spark, SharedInput, files = 256)).min),
       "stream_build" -> (() => (1 to reps).map(_ =>

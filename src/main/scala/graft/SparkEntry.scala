@@ -186,7 +186,15 @@ object SparkEntry {
     // multimodal plumbing (stubbed codec, real schema/partitioning)
     "mm_decode" -> ((s, d) => graft.multimodal.Multimodal.decodeDocuments(s, d)
       .select(col("doc_id"), col("media_type"),
-      col("n_bytes").cast("long").as("n_bytes"), col("feat0").cast("long").as("feat0"))))
+      col("n_bytes").cast("long").as("n_bytes"), col("feat0").cast("long").as("feat0"))),
+    // 1→N frame sampling: each payload explodes to ≤8 256-byte frames;
+    // boundaries/lengths/first-bytes are byte-exact against the oracle
+    "mm_frames" -> ((s, d) => graft.multimodal.Multimodal.frameDocuments(s, d)
+      .select(col("doc_id"), col("frame_idx"),
+        col("frame_bytes"), col("frame_feat0"))),
+    // resize (stride decimation to ≤1024 bytes) composed with decode —
+    // transform chaining with SQL-checkable output lengths
+    "mm_resize" -> ((s, d) => graft.multimodal.Multimodal.resizeDocuments(s, d)))
 
   def oracleSql: Map[String, String] = Map(
     "a1_snapshot_latest" -> SnapshotQueries.a1SnapshotLatestSql,
@@ -251,6 +259,8 @@ object SparkEntry {
     "dedup_simhash" -> graft.dedup.Dedup.simhashCandidatesOracleSql,
     "emb_neardup" -> embNearDupSql,
     "mm_decode" -> mmDecodeSql,
+    "mm_frames" -> mmFramesSql,
+    "mm_resize" -> mmResizeSql,
     // Q2 lists the dataset dir's catalog; the fixture's table set is fixed
     // by TESTDATA.md, so the oracle pins it as literals — the engine side
     // still genuinely enumerates the directory.
@@ -400,4 +410,37 @@ object SparkEntry {
        CAST(CASE WHEN length(text) = 0 THEN -1
             ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS feat0
        FROM documents"""
+
+  /** Byte-exact frame oracle: DuckDB 1.0 has no blob substring, so the
+    * payload is hexed once and frames are slices of the hex string —
+    * byte i lives at hex chars [2i+1, 2i+2], independent of text
+    * encoding.
+    */
+  private val mmFramesSql: String =
+    """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                         octet_length(encode(text)) AS n
+                  FROM documents),
+       f AS (SELECT doc_id, n, hx,
+               unnest(range(least(CAST(ceil(n/256.0) AS INT), 8))) AS frame_idx
+             FROM m WHERE n > 0)
+       SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+         CAST(least(256, n - frame_idx*256) AS INT) AS frame_bytes,
+         CAST(16*(strpos('0123456789ABCDEF', substr(hx, frame_idx*512+1, 1))-1)
+          + strpos('0123456789ABCDEF', substr(hx, frame_idx*512+2, 1))-1 AS INT)
+           AS frame_feat0
+       FROM f"""
+
+  private val mmResizeSql: String =
+    """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx,
+                         octet_length(encode(text)) AS n
+                  FROM documents)
+       SELECT doc_id,
+         CAST(CASE WHEN n <= 1024 THEN n
+              ELSE (n - 1) // ((n + 1023) // 1024) + 1 END AS BIGINT)
+           AS resized_bytes,
+         CAST(CASE WHEN n = 0 THEN -1
+              ELSE 16*(strpos('0123456789ABCDEF', substr(hx, 1, 1))-1)
+                   + strpos('0123456789ABCDEF', substr(hx, 2, 1))-1 END AS BIGINT)
+           AS feat0
+       FROM m"""
 }

@@ -53,15 +53,77 @@ object Multimodal {
     media.mapPartitions(_.map(fakeDecode))
   }
 
-  /** Build a media table from the documents table (text bytes standing in
-    * for an opaque payload) and run the decode pipeline.
+  final case class Frame(
+      doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_feat0: Int)
+
+  /** Frame sampling — the 1→N multimodal shape (a video payload explodes
+    * into per-frame rows): deterministic fake = consecutive `frameSize`-
+    * byte chunks, capped at `maxFrames` (a real implementation would seek
+    * keyframes here; the row-explosion contract, schema, and constant-
+    * memory iterator are the real, tested part). Empty payloads produce
+    * zero frames.
     */
-  def decodeDocuments(s: SparkSession, dir: String): DataFrame = {
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 256,
+      maxFrames: Int = 8): Dataset[Frame] = {
+    implicit val enc: Encoder[Frame] = Encoders.product[Frame]
+    media.mapPartitions(_.flatMap { r =>
+      val n = r.payload.length
+      val k = math.min((n + frameSize - 1) / frameSize, maxFrames)
+      (0 until k).iterator.map { i =>
+        val off = i * frameSize
+        Frame(r.doc_id, i, math.min(frameSize, n - off), r.payload(off) & 0xff)
+      }
+    })
+  }
+
+  /** Resize — the 1→1 payload-transform shape (image downscale): stub =
+    * stride-decimation of the bytes to ≤ `targetBytes`, preserving the
+    * first byte. Output is again a MediaRow, so resize composes with
+    * [[extractFeatures]] / [[sampleFrames]] like a real transcode stage.
+    */
+  def resize(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
     implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
-    val media = s.read.parquet(s"$dir/documents.parquet")
+    media.mapPartitions(_.map { r =>
+      val n = r.payload.length
+      if (n <= targetBytes) r
+      else {
+        val stride = (n + targetBytes - 1) / targetBytes
+        val out = new Array[Byte]((n - 1) / stride + 1)
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * stride); i += 1 }
+        r.copy(payload = out)
+      }
+    })
+  }
+
+  /** Media table from the documents table — text bytes standing in for an
+    * opaque image/audio/video payload.
+    */
+  def mediaFromDocuments(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    implicit val enc: Encoder[MediaRow] = Encoders.product[MediaRow]
+    s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), lit("text/plain").as("media_type"),
         col("text").cast("binary").as("payload"))
       .as[MediaRow]
-    extractFeatures(media).toDF()
   }
+
+  /** Decode pipeline over the documents-as-media table. */
+  def decodeDocuments(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaFromDocuments(s, dir)).toDF()
+
+  /** Frame-sampling pipeline (mm_frames query): byte-exact oracle-able —
+    * frame boundaries, lengths, and first bytes are pure functions of the
+    * payload bytes.
+    */
+  def frameDocuments(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaFromDocuments(s, dir)).toDF()
+
+  /** Resize→decode composition (mm_resize query): decimate payloads to
+    * ≤1024 bytes, then re-extract features — shows transforms chain with
+    * no driver involvement and yields SQL-checkable lengths/first bytes.
+    */
+  def resizeDocuments(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(resize(mediaFromDocuments(s, dir), targetBytes = 1024))
+      .toDF().select(col("doc_id"), col("n_bytes").cast("long").as("resized_bytes"),
+        col("feat0").cast("long").as("feat0"))
 }
