@@ -61,6 +61,8 @@ object SparkEntry {
     // relational surface (SURVEY.md §2.2)
     "wf_running_state" -> (RelationalQueries.wfRunningState _),
     "wf_rank_funcs" -> (RelationalQueries.wfRankFuncs _),
+    "wf_dist_funcs" -> (RelationalQueries.wfDistFuncs _),
+    "pivot_counts" -> (RelationalQueries.pivotCounts _),
     // IVF ANN (deterministic coarse centroids → probed inverted lists)
     "ann_ivf" -> ((s, d) => graft.ann.Ann.ivfTopK(
       Tables.embeddings(s, d), queryId = 0L, k = 10,
@@ -221,6 +223,8 @@ object SparkEntry {
     "ann_expr" -> annBruteforceSql,
     "wf_running_state" -> RelationalQueries.wfRunningStateSql,
     "wf_rank_funcs" -> RelationalQueries.wfRankFuncsSql,
+    "wf_dist_funcs" -> RelationalQueries.wfDistFuncsSql,
+    "pivot_counts" -> RelationalQueries.pivotCountsSql,
     "ann_ivf" -> graft.ann.Ann.ivfTopKSql(queryId = 0L, k = 10,
       numCentroids = 16, nProbe = 4),
     "asof_join" -> asofJoinSql,

@@ -329,4 +329,57 @@ object RelationalQueries {
   val cmsCountsSql: String =
     """SELECT event_type, count(*) AS exact_n, TRUE AS within_cms_bound
        FROM events GROUP BY 1"""
+
+  /** Pivot with an EXPLICIT value list — the scalable form: no
+    * distinct-value pre-scan, the pivot compiles to one hash aggregate
+    * with `count(CASE WHEN ...)` per column (single shuffle on the
+    * group key, map-side partial agg).
+    */
+  def pivotCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .select(col("user_id"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("error"), lit(0L)).as("n_error"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("view"), lit(0L)).as("n_view"))
+
+  val pivotCountsSql: String =
+    """SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view
+       FROM events GROUP BY 1"""
+
+  /** Distribution window functions (ntile / percent_rank / cume_dist /
+    * nth_value) over each user's event timeline — completes the window-
+    * function surface beyond ranks/offsets (wf_rank_funcs).
+    */
+  def wfDistFuncs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      nth_value(col("event_id"), 2).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("second_event_id"))
+  }
+
+  val wfDistFuncsSql: String =
+    """SELECT event_id, user_id,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       nth_value(event_id, 2) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_event_id
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 }
