@@ -108,6 +108,23 @@ object ScalingBench {
           Seq("conv_id"), "ts", "tool_ts", Seq("prior_tool"),
           matchedTsAs = "prior_tool_ts"))
       }),
+      // duplicate-class clustering at scale: connected components over a
+      // deterministic pseudo-random graph (8M edges on 4M nodes, avg
+      // degree 4 → a giant component + fringe; many large-star/small-star
+      // rounds). Workload rows = edges, not turns — the reported
+      // turns_per_sec column is only used as a cross-core RATIO here.
+      // Graph size is tunable: iterative BSP rounds have fixed driver
+      // barriers (checkpoint + fixpoint job per round), so efficiency
+      // rises with per-round work — measure at a size where compute,
+      // not the barrier, dominates (as it does at production scale).
+      "cc_components" -> (() => best {
+        val nEdges = sys.env.getOrElse("SPARK_GRAFT_CC_EDGES", "8000000").toLong
+        val edges = spark.range(nEdges).select(
+          pmod(xxhash64(col("id")), lit(nEdges / 2)).as("src"),
+          pmod(xxhash64(col("id") + 1234567L), lit(nEdges / 2)).as("dst"))
+        noop(graft.dedup.ConnectedComponents.components(edges, "src", "dst",
+          verbose = sys.env.contains("SPARK_GRAFT_DEBUG")))
+      }),
       "stream_fold" -> (() => (1 to reps).map(_ =>
         Bench.streamFoldOnly(spark, SharedInput, files = 256)).min),
       "stream_build" -> (() => (1 to reps).map(_ =>

@@ -31,13 +31,24 @@ object RangeJoin {
     */
   def pointInInterval(points: DataFrame, ptCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      binWidth: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+      binWidth: Long, extraKeys: Seq[String] = Nil,
+      maxBinsPerInterval: Long = 100000L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val w = lit(binWidth)
+    // A degenerate interval (hi-lo >> binWidth) explodes to that many
+    // rows — fail LOUDLY instead of letting one bad interval OOM an
+    // executor at scale (tune binWidth or split such intervals). The
+    // guard is woven into the sequence's upper bound so column pruning
+    // cannot eliminate it.
+    val loBin = floor(col(loCol) / w).cast("long")
+    val hiBin = floor((col(hiCol) - 1) / w).cast("long")
+    val guardedHi = when(hiBin - loBin >= lit(maxBinsPerInterval),
+      raise_error(concat(lit(s"range join: interval spans >= " +
+        s"$maxBinsPerInterval bins of width $binWidth at "),
+        col(loCol).cast("string"))).cast("long"))
+      .otherwise(hiBin)
     val binned = intervals.filter(col(hiCol) > col(loCol))
-      .withColumn("__bin",
-        explode(sequence(floor(col(loCol) / w).cast("long"),
-          floor((col(hiCol) - 1) / w).cast("long"))))
+      .withColumn("__bin", explode(sequence(loBin, guardedHi)))
     val keyed = points.withColumn("__bin", floor(col(ptCol) / w).cast("long"))
     keyed.join(binned, Seq("__bin") ++ extraKeys)
       .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))

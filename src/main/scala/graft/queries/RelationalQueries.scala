@@ -330,22 +330,19 @@ object RelationalQueries {
     """SELECT event_type, count(*) AS exact_n, TRUE AS within_cms_bound
        FROM events GROUP BY 1"""
 
-  /** Pivot with an EXPLICIT value list — the scalable form: no
-    * distinct-value pre-scan, the pivot compiles to one hash aggregate
-    * with `count(CASE WHEN ...)` per column (single shuffle on the
-    * group key, map-side partial agg).
+  /** Pivot as direct conditional aggregation — the scalable form. Even
+    * `.pivot(col, explicitValues)` plans TWO shuffles (a pre-aggregate
+    * on (key, pivot-col), then a pivotfirst aggregate on key); spelling
+    * the fixed columns as `count(CASE WHEN ...)` compiles to ONE
+    * map-side-combined hash aggregate with a single exchange on the
+    * group key — plan-asserted in PlanSpec.
     */
-  def pivotCounts(s: SparkSession, d: String): DataFrame =
+  def pivotCounts(s: SparkSession, d: String): DataFrame = {
+    def n(v: String) = count(when(col("event_type") === v, 1)).as(s"n_$v")
     Tables.events(s, d)
       .groupBy(col("user_id"))
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .count()
-      .select(col("user_id"),
-        coalesce(col("click"), lit(0L)).as("n_click"),
-        coalesce(col("error"), lit(0L)).as("n_error"),
-        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
-        coalesce(col("signup"), lit(0L)).as("n_signup"),
-        coalesce(col("view"), lit(0L)).as("n_view"))
+      .agg(n("click"), n("error"), n("purchase"), n("signup"), n("view"))
+  }
 
   val pivotCountsSql: String =
     """SELECT user_id,

@@ -30,6 +30,22 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("STREAMING sketch equals the batch matrix (update-mode agg state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("k")
+      .agg(CountMin.sketch(col("k")).as("sk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream").start()
+    // three micro-batches — the streaming agg must carry sketch state
+    keys.grouped(2000).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("cms_stream").as[Seq[Long]].head()
+    val batch = keys.toDF("k").agg(CountMin.sketch($"k")).as[Seq[Long]].head()
+    assert(streamed === batch)
+  }
+
   test("sketch matrix is invariant to input partitioning") {
     val one = keys.toDF("k").repartition(1)
       .agg(CountMin.sketch($"k")).as[Seq[Long]].head()

@@ -106,4 +106,49 @@ class PlanSpec extends SparkSpec {
     val p = planOf(SnapshotQueries.q1PointLookup(spark, dir))
     assert(p.contains("EqualTo(user_id,7)"), s"lookup filter not pushed:\n$p")
   }
+
+  test("pivot (as conditional agg) is one partial-agg'd hash aggregate") {
+    // Dataset.pivot — even with explicit values — plans a second shuffle
+    // (pre-agg on (key, pivot-col) then pivotfirst); the conditional-agg
+    // spelling is the one-exchange form the query must keep.
+    val p = planOf(RelationalQueries.pivotCounts(spark, dir))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"pivot should shuffle once, plan:\n$p")
+    assert(p.toLowerCase.contains("partial_count"), s"no partial agg:\n$p")
+  }
+
+  test("CMS sketch aggregates partially before its single exchange") {
+    val p = planOf(RelationalQueries.cmsCounts(spark, dir))
+    // the sketch agg side: ObjectHashAggregate partial (matrix merge is
+    // associative) then one exchange to the final agg
+    assert(p.contains("ObjectHashAggregate"), s"no object hash agg:\n$p")
+    assert(p.toLowerCase.contains("partial"), s"no partial agg stage:\n$p")
+  }
+
+  test("runtime bloom filter prunes the fact scan of a selective dim join") {
+    // At 100 TB a shuffle join against a filtered dimension should not
+    // scan-and-shuffle the whole fact side: Spark's runtime bloom filter
+    // injects might_contain(fact key) below the fact scan. Thresholds
+    // are production-scale, so pin them down to fire on test data.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.lineitem(spark, dir)
+      val dim = Tables.orders(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 500000.0)
+      val joined = fact.join(dim,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloom"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

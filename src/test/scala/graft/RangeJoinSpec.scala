@@ -47,6 +47,18 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Set(1L))
   }
 
+  test("degenerate long interval fails loudly, not quadratically") {
+    val points = Seq((1L, 5L)).toDF("p_id", "pt")
+    val ivals = Seq((10L, 0L, 10000L)).toDF("i_id", "lo", "hi")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "pt", ivals, "lo", "hi",
+        binWidth = 10L, maxBinsPerInterval = 100L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("interval spans")), s"wrong error: $ex")
+  }
+
   test("plan is an equi-join on the bin key, not a nested-loop product") {
     val points = (0 until 100).map(i => (i.toLong, i.toLong * 7)).toDF("p_id", "pt")
     val ivals = (0 until 50).map(i => (i.toLong, i * 10L, i * 10L + 25)).toDF("i_id", "lo", "hi")

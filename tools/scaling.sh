@@ -5,7 +5,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 LO="${1:-8}" HI="${2:-32}" TURNS="${3:-16000000}"
-export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-40g}"
+# 31g, NOT 40g: Xmx > ~32g disables CompressedOops and object-pointer-
+# heavy operators (window sorts, explodes, checkpointed iteration) run
+# 2.5-3x slower — measured on cc_components: 46s@8g / 58s@31g / 142s@40g
+# at the same 8 cores. Keep the driver under the compressed-oops cliff.
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-31g}"
 export SPARK_GRAFT_TURNS="$TURNS"
 
 ROUNDS="${SPARK_GRAFT_ROUNDS:-3}"
