@@ -136,6 +136,8 @@ object SparkEntry {
     "lang_id" -> (TextQueries.langId _),
     "fingerprint" -> (TextQueries.fingerprint _),
     "token_counts" -> (TextQueries.tokenCounts _),
+    "stratified_sample" -> ((s, d) => TextQueries.stratifiedSample(s, d)),
+    "top_terms" -> (TextQueries.topTerms _),
     "ngram_jaccard" -> (TextQueries.ngramJaccard _),
     // MinHash LSH candidates verified by exact Jaccard: the LSH bands
     // generate candidate pairs, the exact shingle-Jaccard filter keeps
@@ -247,6 +249,8 @@ object SparkEntry {
     "lang_id" -> TextQueries.langIdSql,
     "fingerprint" -> TextQueries.fingerprintSql,
     "token_counts" -> TextQueries.tokenCountsSql,
+    "stratified_sample" -> TextQueries.stratifiedSampleSql,
+    "top_terms" -> TextQueries.topTermsSql,
     "ngram_jaccard" -> TextQueries.ngramJaccardSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> graft.ann.Ann.lshTopKSql(queryId = 0L, k = 10, dim = 64,

@@ -154,6 +154,69 @@ object TextQueries {
         col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
   }
 
+  /** Deterministic stratified sample — balanced per-stratum selection for
+    * training-data curation: within each stratum (lang), rank docs by
+    * md5(doc_id) (a uniform, engine-reproducible pseudo-random order; a
+    * seeded Bernoulli sample would be engine-private) and keep the first
+    * k. One shuffle on the stratum key; the per-stratum sort streams —
+    * at 100 TB replace row_number with a per-key TakeOrdered if strata
+    * are huge and k tiny.
+    */
+  def stratifiedSample(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn FROM (
+         SELECT doc_id, lang, row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM documents)
+       WHERE rn <= 20"""
+
+  /** Keyword extraction, tf-idf-shaped but integer-ranked (high term
+    * frequency, rare document frequency) so the oracle is float-free:
+    * top-3 terms (length ≥ 4) per doc by (tf DESC, df ASC, term ASC),
+    * with tf and df exposed. Shape: one explode + two hash aggs + a
+    * broadcast-sized term-df join + per-doc top-k window — df cardinality
+    * is vocabulary-sized, so the join side is compact even at 100 TB.
+    */
+  def topTerms(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit(wordPat), lit(0)))
+        .as("term"))
+      .filter(length(col("term")) >= 4)
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  val topTermsSql: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf
+              FROM toks WHERE length(term) >= 4 GROUP BY 1, 2),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+       SELECT doc_id, term, tf, df, CAST(rk AS BIGINT) AS rk FROM (
+         SELECT tf.doc_id, tf.term, tf.tf, df.df, row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+         FROM tf JOIN df USING (term))
+       WHERE rk <= 3"""
+
   /** 3-word shingles of a tokenized column, as an array column. */
   private def shingles(textCol: org.apache.spark.sql.Column) = {
     val w = regexp_extract_all(textCol, lit(wordPat), lit(0))
