@@ -138,6 +138,22 @@ object SparkEntry {
     "token_counts" -> (TextQueries.tokenCounts _),
     "stratified_sample" -> ((s, d) => TextQueries.stratifiedSample(s, d)),
     "top_terms" -> (TextQueries.topTerms _),
+    "repetition_ratio" -> (TextQueries.repetitionRatio _),
+    // The dedup pipeline's actual OUTPUT: keep each duplicate class's
+    // representative (cluster_id == doc_id) plus all unclustered docs —
+    // candidates → verified pairs → connected components → filter,
+    // end-to-end.
+    "dedup_filtered" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+      val cands = graft.dedup.Dedup.minhashCandidates(
+        docs, "doc_id", "text", numHashes = 64, rowsPerBand = 2)
+      val truePairs = TextQueries.ngramJaccard(s, d)
+        .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+      graft.dedup.ConnectedComponents.clusters(
+        docs.select("doc_id"), "doc_id", truePairs, "doc_a", "doc_b")
+        .filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"))
+    }),
     "ngram_jaccard" -> (TextQueries.ngramJaccard _),
     // MinHash LSH candidates verified by exact Jaccard: the LSH bands
     // generate candidate pairs, the exact shingle-Jaccard filter keeps
@@ -251,6 +267,9 @@ object SparkEntry {
     "token_counts" -> TextQueries.tokenCountsSql,
     "stratified_sample" -> TextQueries.stratifiedSampleSql,
     "top_terms" -> TextQueries.topTermsSql,
+    "repetition_ratio" -> TextQueries.repetitionRatioSql,
+    "dedup_filtered" ->
+      s"""SELECT doc_id FROM ($dedupClustersSql) WHERE doc_id = cluster_id""",
     "ngram_jaccard" -> TextQueries.ngramJaccardSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> graft.ann.Ann.lshTopKSql(queryId = 0L, k = 10, dim = 64,

@@ -217,6 +217,47 @@ object TextQueries {
          FROM tf JOIN df USING (term))
        WHERE rk <= 3"""
 
+  /** Repetition ratio — the boilerplate/spam signal: share of the doc's
+    * 3-word shingles taken by its single most-repeated shingle (1.0 = the
+    * doc is one phrase looping). Narrow explode + two hash aggs; docs
+    * with < 3 words score 0 over 0 shingles.
+    */
+  def repetitionRatio(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d).select(col("doc_id"),
+      explode(shingles(lower(col("text")))).as("sh"))
+    val per = sh.groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_sh"), max(col("c")).as("max_sh"))
+    Tables.documents(s, d).select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("max_sh"), lit(0L)).as("max_sh"),
+        when(coalesce(col("n_sh"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("max_sh").cast("double") / col("n_sh").cast("double"))
+          .as("rep_ratio"))
+  }
+
+  val repetitionRatioSql: String =
+    """WITH docs AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         FROM documents),
+       shl AS (
+         SELECT doc_id,
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2)] AS shs
+         FROM docs WHERE len(w) >= 3),
+       sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+       per AS (SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY 1, 2),
+       agg AS (SELECT doc_id, sum(c) AS n_sh, max(c) AS max_sh
+               FROM per GROUP BY 1)
+       SELECT d.doc_id,
+         CAST(coalesce(a.n_sh, 0) AS BIGINT) AS n_sh,
+         CAST(coalesce(a.max_sh, 0) AS BIGINT) AS max_sh,
+         CASE WHEN coalesce(a.n_sh, 0) = 0 THEN 0.0
+              ELSE CAST(a.max_sh AS DOUBLE) / CAST(a.n_sh AS DOUBLE)
+         END AS rep_ratio
+       FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
   /** 3-word shingles of a tokenized column, as an array column. */
   private def shingles(textCol: org.apache.spark.sql.Column) = {
     val w = regexp_extract_all(textCol, lit(wordPat), lit(0))
