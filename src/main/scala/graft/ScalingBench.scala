@@ -78,6 +78,15 @@ object ScalingBench {
       "batch_fold" -> (() => best {
         noop(SnapshotFold.batchSnapshots(spark.read.parquet(SharedInput)))
       }),
+      // same fold via the typed Aggregator: plans ObjectHashAggregate
+      // (no per-partition sorts) where the untyped max_by form is forced
+      // into SortAggregate by its declarative struct buffer — the faster
+      // production path, benched separately to quantify the gap
+      "typed_fold" -> (() => best {
+        import spark.implicits._
+        noop(SnapshotFold.typedSnapshots(
+          spark.read.parquet(SharedInput).as[graft.model.Turn]).toDF())
+      }),
       "window_agg" -> (() => best {
         noop(spark.read.parquet(SharedInput)
           .groupBy(window(col("ts"), "5 minutes"))
