@@ -56,12 +56,22 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * entry — once no retained manifest references it, so per-commit GC
     * cost is O(tombstones + R small manifests), never O(files-on-disk).
     */
+  /** `tableSchema` is the committed table schema (Iceberg's schema-in-
+    * metadata): reads apply it explicitly, so scans never probe parquet
+    * footers for inference, additive column evolution is a manifest
+    * update, and time travel restores the schema each version HAD.
+    * Absent (legacy manifests) ⇒ the constructor's `emptySchema`.
+    */
   final case class Manifest(lastBatchId: Long, buckets: Map[Int, Seq[String]],
       deltas: Map[Int, Seq[String]], lineageFiles: Seq[String],
-      signalFiles: Seq[String], removed: Seq[String] = Nil) {
+      signalFiles: Seq[String], removed: Seq[String] = Nil,
+      tableSchema: Option[StructType] = None) {
     def dataFiles: Seq[String] =
       (buckets.values.flatten ++ deltas.values.flatten).toSeq
   }
+
+  /** The current committed schema (declared schema before any commit). */
+  def schema(): StructType = readManifest().tableSchema.getOrElse(emptySchema)
 
   def readManifest(): Manifest =
     if (!Files.exists(manifestPath)) Manifest(-1L, Map.empty, Map.empty, Nil, Nil)
@@ -81,8 +91,12 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     var lineage: Seq[String] = Nil
     var signals: Seq[String] = Nil
     var removed: Seq[String] = Nil
+    var schemaOpt: Option[StructType] = None
     lines.foreach {
       case l if l.startsWith("lastBatchId=") => last = l.substring(12).toLong
+      case l if l.startsWith("schema=") =>
+        schemaOpt = Some(org.apache.spark.sql.types.DataType
+          .fromJson(l.substring(7)).asInstanceOf[StructType])
       case l if l.startsWith("lineage=") =>
         lineage = l.substring(8).split(",").filter(_.nonEmpty).toSeq
       case l if l.startsWith("signals=") =>
@@ -98,12 +112,14 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       case _ =>
     }
     Manifest(last, ListMap(buckets.toSeq.sortBy(_._1): _*),
-      ListMap(deltas.toSeq.sortBy(_._1): _*), lineage, signals, removed)
+      ListMap(deltas.toSeq.sortBy(_._1): _*), lineage, signals, removed,
+      schemaOpt)
   }
 
   private def renderManifest(m: Manifest): String = {
     val sb = new StringBuilder
     sb.append(s"lastBatchId=${m.lastBatchId}\n")
+    m.tableSchema.foreach(s => sb.append(s"schema=${s.json}\n"))
     sb.append(s"lineage=${m.lineageFiles.mkString(",")}\n")
     sb.append(s"signals=${m.signalFiles.mkString(",")}\n")
     sb.append(s"removed=${m.removed.mkString(",")}\n")
@@ -168,10 +184,10 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
           s"(retained: ${manifestVersions().mkString(",")})")
     val m = parseManifest(Files.readString(vPath))
     val files = m.dataFiles.map(f => s"$root/$f")
-    if (files.isEmpty) emptyDf(emptySchema)
+    if (files.isEmpty) emptyDf(m.tableSchema.getOrElse(emptySchema))
     else if (m.deltas.values.forall(_.isEmpty))
-      spark.read.parquet(files: _*).drop("__seq")
-    else resolve(spark.read.parquet(files: _*))
+      scanWith(m, files).drop("__seq")
+    else resolve(scanWith(m, files))
   }
 
   // ---- read ----------------------------------------------------------
@@ -179,6 +195,19 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
 
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  private def plusSeq(s: StructType): StructType = StructType(s.fields :+
+    org.apache.spark.sql.types.StructField("__seq",
+      org.apache.spark.sql.types.LongType))
+
+  /** Scan the manifest's files under ITS committed schema (+__seq) —
+    * explicit, so no footer-probe inference job, files written before a
+    * column was added read it back as null, and `readAsOf` restores the
+    * schema that version had.
+    */
+  private def scanWith(m: Manifest, files: Seq[String]): DataFrame =
+    spark.read.schema(plusSeq(m.tableSchema.getOrElse(emptySchema)))
+      .parquet(files: _*)
 
   /** Last-writer-wins resolution over base ∪ delta rows: the row with the
     * greatest `__seq` per key survives. Skipped entirely when a bucket has
@@ -202,10 +231,10 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
   def read(): DataFrame = {
     val m = readManifest()
     val files = m.dataFiles.map(f => s"$root/$f")
-    if (files.isEmpty) emptyDf(emptySchema)
+    if (files.isEmpty) emptyDf(m.tableSchema.getOrElse(emptySchema))
     else if (m.deltas.values.forall(_.isEmpty))
-      spark.read.parquet(files: _*).drop("__seq")
-    else resolve(spark.read.parquet(files: _*))
+      scanWith(m, files).drop("__seq")
+    else resolve(scanWith(m, files))
   }
 
   /** Point lookup — prunes to the key's single bucket before scanning
@@ -228,18 +257,13 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val base = m.buckets.getOrElse(bucket, Nil)
     val delta = m.deltas.getOrElse(bucket, Nil)
     val files = (base ++ delta).map(f => s"$root/$f")
-    // Explicit schema (the declared table schema + __seq): a point read
-    // must not pay a footer-probe job for schema inference. merge() only
-    // ever writes emptySchema-shaped rows, the same assumption empty reads
-    // already make.
-    val withSeq = StructType(emptySchema.fields :+
-      org.apache.spark.sql.types.StructField("__seq",
-        org.apache.spark.sql.types.LongType))
-    if (files.isEmpty) emptyDf(emptySchema).where(col(c) === key)
+    // Explicit committed schema (+__seq): a point read must not pay a
+    // footer-probe job for schema inference.
+    if (files.isEmpty)
+      emptyDf(m.tableSchema.getOrElse(emptySchema)).where(col(c) === key)
     else if (delta.isEmpty)
-      spark.read.schema(withSeq).parquet(files: _*)
-        .drop("__seq").where(col(c) === key)
-    else resolve(spark.read.schema(withSeq).parquet(files: _*).where(col(c) === key))
+      scanWith(m, files).drop("__seq").where(col(c) === key)
+    else resolve(scanWith(m, files).where(col(c) === key))
   }
 
   def lineage(): DataFrame = {
@@ -281,6 +305,30 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val m = readManifest()
     if (m.lastBatchId >= batchId) return false // idempotent re-delivery
 
+    // Additive schema evolution (Iceberg add-column semantics): new
+    // columns join the committed schema as nullable — older files read
+    // them back as null; type CHANGES are rejected (a silent cast is a
+    // correctness bug, an explicit migration is a rewrite). A batch may
+    // also OMIT existing columns: resolution is per-ROW last-writer-wins,
+    // so the latest writer's nulls win for its keys, consistently.
+    val current = m.tableSchema.getOrElse(emptySchema)
+    val incoming = StructType(updates.schema.fields
+      .filterNot(f => f.name == "__seq" || f.name == "__bucket"))
+    require(incoming.exists(_.name == keyCol),
+      s"merge batch lacks key column '$keyCol'")
+    incoming.foreach { f =>
+      current.find(_.name == f.name).foreach { cf =>
+        // simpleString comparison: nullability-insensitive (a batch of
+        // all-non-null values must not read as a type change)
+        require(cf.dataType.simpleString == f.dataType.simpleString,
+          s"schema evolution: column '${f.name}' type change " +
+            s"${cf.dataType.simpleString} -> ${f.dataType.simpleString} rejected")
+      }
+    }
+    val evolved = StructType(current.fields ++
+      incoming.filterNot(f => current.exists(_.name == f.name))
+        .map(_.copy(nullable = true)))
+
     val version = s"v$batchId"
     val deltaDir = s"$root/data/delta-$version"
     updates
@@ -304,7 +352,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     // and call [[compact]] out-of-band so no micro-batch pays an O(bucket)
     // rewrite (VERDICT r2: the p99 spike at scale).
     val (buckets2, deltas2) =
-      if (inlineCompaction) compactBuckets(m.buckets, deltas, version, batchId)
+      if (inlineCompaction)
+        compactBuckets(m.buckets, deltas, version, batchId, evolved)
       else (m.buckets, deltas)
 
     var lineageFiles = m.lineageFiles
@@ -323,7 +372,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       signalFiles = signalFiles ++ listParquet(sdir, s"signals/$version")
     }
 
-    commitAndGc(m, Manifest(batchId, buckets2, deltas2, lineageFiles, signalFiles),
+    commitAndGc(m, Manifest(batchId, buckets2, deltas2, lineageFiles,
+      signalFiles, tableSchema = Some(evolved)),
       writtenThisCommit = newDeltaFiles.values.flatten.toSet)
     true
   }
@@ -333,14 +383,14 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     */
   private def compactBuckets(base: Map[Int, Seq[String]],
       deltas: Map[Int, Seq[String]], version: String,
-      seq: Long): (Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
+      seq: Long, tableSchema: StructType): (Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
     val toCompact = deltas.filter(_._2.size >= maxDeltasPerBucket).keySet
     if (toCompact.isEmpty) (base, deltas)
     else {
       val files = toCompact.toSeq.sorted.flatMap(b =>
         (base.getOrElse(b, Nil) ++ deltas.getOrElse(b, Nil)).map(f => s"$root/$f"))
       val baseDir = s"$root/data/base-$version"
-      resolve(spark.read.parquet(files: _*))
+      resolve(spark.read.schema(plusSeq(tableSchema)).parquet(files: _*))
         .withColumn("__seq", lit(seq)) // compacted rows re-stamped; deltas are newer by construction
         .withColumn("__bucket", bucketOf(keyCol))
         .repartition(math.max(toCompact.size, 1), col("__bucket"))
@@ -364,7 +414,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val m = readManifest()
     if (!m.deltas.exists(_._2.size >= maxDeltasPerBucket)) return false
     val (b2, d2) =
-      compactBuckets(m.buckets, m.deltas, s"v${m.lastBatchId}c", m.lastBatchId)
+      compactBuckets(m.buckets, m.deltas, s"v${m.lastBatchId}c",
+        m.lastBatchId, m.tableSchema.getOrElse(emptySchema))
     commitAndGc(m, m.copy(buckets = b2, deltas = d2))
     true
   }

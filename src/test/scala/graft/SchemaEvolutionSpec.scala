@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.store.IcebergLikeTable
+
+/** Additive schema evolution in the merge-on-read store (Iceberg
+  * add-column semantics, schema tracked in the manifest): later batches
+  * introduce columns, readers see the union with nulls for pre-evolution
+  * rows, time travel restores the schema each version HAD, type changes
+  * are rejected, and compaction carries the evolved schema through.
+  */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val s: org.apache.spark.sql.SparkSession = spark
+
+  private val baseSchema = StructType(Seq(
+    StructField("conv_id", StringType), StructField("v", LongType)))
+
+  test("added column: union schema, nulls for old rows, schema time travel") {
+    val t = new IcebergLikeTable(tmpDir("evo") + "/t", numBuckets = 4,
+      emptySchema = baseSchema)
+    assert(t.merge(Seq(("a", 1L), ("b", 1L)).toDF("conv_id", "v"),
+      "conv_id", 0L))
+    assert(t.merge(Seq(("b", 2L, 0.9), ("c", 2L, 0.5))
+      .toDF("conv_id", "v", "quality"), "conv_id", 1L))
+
+    assert(t.schema().fieldNames.toSeq === Seq("conv_id", "v", "quality"))
+    val got = t.read().select($"conv_id", $"v", $"quality")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // per-row last-writer-wins: a's latest row predates the column
+    assert(got === Map("a" -> ((1L, None)), "b" -> ((2L, Some(0.9))),
+      "c" -> ((2L, Some(0.5)))))
+
+    // the v0 version reads back with the schema it was committed under
+    assert(t.readAsOf(0L).columns.toSeq === Seq("conv_id", "v"))
+    assert(t.readAsOf(1L).columns.toSeq === Seq("conv_id", "v", "quality"))
+    // point lookup sees the evolved schema too
+    assert(t.lookup("conv_id", "a").columns.contains("quality"))
+  }
+
+  test("type change is rejected loudly") {
+    val t = new IcebergLikeTable(tmpDir("evo-rej") + "/t", numBuckets = 2,
+      emptySchema = baseSchema)
+    assert(t.merge(Seq(("a", 1L)).toDF("conv_id", "v"), "conv_id", 0L))
+    val ex = intercept[IllegalArgumentException] {
+      t.merge(Seq(("a", "not-a-long")).toDF("conv_id", "v"), "conv_id", 1L)
+    }
+    assert(ex.getMessage.contains("type change"))
+  }
+
+  test("compaction across an evolution boundary preserves evolved values") {
+    val t = new IcebergLikeTable(tmpDir("evo-compact") + "/t", numBuckets = 2,
+      maxDeltasPerBucket = 2, emptySchema = baseSchema)
+    assert(t.merge(Seq(("a", 0L), ("b", 0L)).toDF("conv_id", "v"), "conv_id", 0L))
+    (1 to 5).foreach { b =>
+      assert(t.merge(Seq(("a", b.toLong, s"tag$b"), ("b", b.toLong, s"tag$b"))
+        .toDF("conv_id", "v", "tag"), "conv_id", b.toLong))
+    }
+    val (_, deltas) = t.fileStats()
+    assert(deltas <= 2 * (t.maxDeltasPerBucket - 1), "compaction never ran")
+    val got = t.read().select($"conv_id", $"v", $"tag")
+      .as[(String, Long, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map("a" -> ((5L, Some("tag5"))), "b" -> ((5L, Some("tag5")))))
+  }
+}
