@@ -14,6 +14,42 @@ import org.apache.spark.sql.streaming.Trigger
 class StreamingOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("the stateful fold runs on the RocksDB state store (the 10^8-key config)") {
+    // tools/submit.sh recommends RocksDB for production state; prove the
+    // fMGWS fold is provider-agnostic: same pipeline, same results.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val base = tmpDir("graft-rocksdb")
+      val turns = graft.gen.Synthetic.turns(spark,
+        graft.gen.Synthetic.paramsForTurns(3000), slices = 4)
+      turns.repartitionByRange(4, col("conv_id"), col("turn_idx"))
+        .write.parquet(s"$base/in")
+      import graft.model.{Schemas, Turn}
+      val stream = spark.readStream.schema(Schemas.turn)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in").as[Turn]
+      val q = graft.snapshot.SnapshotStream.updates(stream, "3650 days")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .format("memory").queryName("rocksdb_fold").start()
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("rocksdb_fold")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"conv_id")
+            .orderBy($"turn_count".desc)))
+        .filter($"rn" === 1)
+        .select($"conv_id", $"turn_count").as[(String, Long)].collect().toMap
+      val want = graft.snapshot.SnapshotFold.batchSnapshots(turns.toDF())
+        .select($"conv_id", $"turn_count").as[(String, Long)].collect().toMap
+      assert(got === want)
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-static join enriches each micro-batch against the dim table") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
