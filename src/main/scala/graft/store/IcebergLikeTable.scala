@@ -62,16 +62,29 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * update, and time travel restores the schema each version HAD.
     * Absent (legacy manifests) ⇒ the constructor's `emptySchema`.
     */
+  /** `bucketCount` is the committed hash-bucket count (Iceberg partition-
+    * spec evolution, bucket transform): absent on legacy manifests ⇒ the
+    * constructor's `numBuckets`. [[rebucket]] changes it with a rewrite;
+    * every write/lookup hashes with the COMMITTED count, so a reader
+    * process constructed with a stale `numBuckets` still prunes
+    * correctly.
+    */
   final case class Manifest(lastBatchId: Long, buckets: Map[Int, Seq[String]],
       deltas: Map[Int, Seq[String]], lineageFiles: Seq[String],
       signalFiles: Seq[String], removed: Seq[String] = Nil,
-      tableSchema: Option[StructType] = None) {
+      tableSchema: Option[StructType] = None,
+      bucketCount: Option[Int] = None) {
     def dataFiles: Seq[String] =
       (buckets.values.flatten ++ deltas.values.flatten).toSeq
   }
 
   /** The current committed schema (declared schema before any commit). */
   def schema(): StructType = readManifest().tableSchema.getOrElse(emptySchema)
+
+  private def bucketsOf(m: Manifest): Int = m.bucketCount.getOrElse(numBuckets)
+
+  /** The current committed bucket count. */
+  def currentBuckets(): Int = bucketsOf(readManifest())
 
   def readManifest(): Manifest =
     if (!Files.exists(manifestPath)) Manifest(-1L, Map.empty, Map.empty, Nil, Nil)
@@ -92,11 +105,14 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     var signals: Seq[String] = Nil
     var removed: Seq[String] = Nil
     var schemaOpt: Option[StructType] = None
+    var bucketsOpt: Option[Int] = None
     lines.foreach {
       case l if l.startsWith("lastBatchId=") => last = l.substring(12).toLong
       case l if l.startsWith("schema=") =>
         schemaOpt = Some(org.apache.spark.sql.types.DataType
           .fromJson(l.substring(7)).asInstanceOf[StructType])
+      case l if l.startsWith("numBuckets=") =>
+        bucketsOpt = Some(l.substring(11).toInt)
       case l if l.startsWith("lineage=") =>
         lineage = l.substring(8).split(",").filter(_.nonEmpty).toSeq
       case l if l.startsWith("signals=") =>
@@ -113,13 +129,14 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     }
     Manifest(last, ListMap(buckets.toSeq.sortBy(_._1): _*),
       ListMap(deltas.toSeq.sortBy(_._1): _*), lineage, signals, removed,
-      schemaOpt)
+      schemaOpt, bucketsOpt)
   }
 
   private def renderManifest(m: Manifest): String = {
     val sb = new StringBuilder
     sb.append(s"lastBatchId=${m.lastBatchId}\n")
     m.tableSchema.foreach(s => sb.append(s"schema=${s.json}\n"))
+    m.bucketCount.foreach(n => sb.append(s"numBuckets=$n\n"))
     sb.append(s"lineage=${m.lineageFiles.mkString(",")}\n")
     sb.append(s"signals=${m.signalFiles.mkString(",")}\n")
     sb.append(s"removed=${m.removed.mkString(",")}\n")
@@ -191,7 +208,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
   }
 
   // ---- read ----------------------------------------------------------
-  def bucketOf(c: String): Column = pmod(hash(col(c)), lit(numBuckets))
+  private def bucketExpr(c: String, n: Int): Column = pmod(hash(col(c)), lit(n))
+  def bucketOf(c: String): Column = bucketExpr(c, currentBuckets())
 
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -253,7 +271,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
         org.apache.spark.sql.types.StringType)), 42)
       .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
       .asInstanceOf[Int]
-    val bucket = ((h % numBuckets) + numBuckets) % numBuckets
+    val nb = bucketsOf(m)
+    val bucket = ((h % nb) + nb) % nb
     val base = m.buckets.getOrElse(bucket, Nil)
     val delta = m.deltas.getOrElse(bucket, Nil)
     val files = (base ++ delta).map(f => s"$root/$f")
@@ -331,12 +350,13 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
 
     val version = s"v$batchId"
     val deltaDir = s"$root/data/delta-$version"
+    val nb = bucketsOf(m)
     updates
       .withColumn("__seq", lit(batchId))
-      .withColumn("__bucket", bucketOf(keyCol))
+      .withColumn("__bucket", bucketExpr(keyCol, nb))
       // one task per bucket up to the cluster's parallelism (a flat 32 cap
       // serialized 1024-bucket tables' delta writes on real clusters)
-      .repartition(math.min(numBuckets,
+      .repartition(math.min(nb,
         math.max(spark.sparkContext.defaultParallelism, 32)), col("__bucket"))
       .sortWithinPartitions(col(keyCol)) // deterministic file content order
       .write.mode("overwrite").partitionBy("__bucket").parquet(deltaDir)
@@ -353,7 +373,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     // rewrite (VERDICT r2: the p99 spike at scale).
     val (buckets2, deltas2) =
       if (inlineCompaction)
-        compactBuckets(m.buckets, deltas, version, batchId, evolved)
+        compactBuckets(m.buckets, deltas, version, batchId, evolved, nb)
       else (m.buckets, deltas)
 
     var lineageFiles = m.lineageFiles
@@ -373,9 +393,39 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     }
 
     commitAndGc(m, Manifest(batchId, buckets2, deltas2, lineageFiles,
-      signalFiles, tableSchema = Some(evolved)),
+      signalFiles, tableSchema = Some(evolved), bucketCount = Some(nb)),
       writtenThisCommit = newDeltaFiles.values.flatten.toSet)
     true
+  }
+
+  /** Bucket-count evolution (Iceberg partition-spec evolution, bucket
+    * transform): rewrite the resolved table into `newBuckets` hash
+    * buckets as ONE atomic commit — logical content and lastBatchId
+    * unchanged, all deltas folded into the new base. Subsequent merges,
+    * lookups, and compactions hash with the committed count, so a
+    * process still constructed with the old `numBuckets` stays correct.
+    * The operational answer to "the table grew 100× and 8 buckets now
+    * bottleneck every compaction and point read".
+    */
+  def rebucket(newBuckets: Int): Unit = {
+    require(newBuckets > 0, "newBuckets must be positive")
+    val m = readManifest()
+    val sch = m.tableSchema.getOrElse(emptySchema)
+    if (m.dataFiles.isEmpty) {
+      commitAndGc(m, m.copy(bucketCount = Some(newBuckets)))
+      return
+    }
+    val dir = s"$root/data/rebucket-v${m.lastBatchId}n$newBuckets"
+    resolve(scanWith(m, m.dataFiles.map(f => s"$root/$f")))
+      .withColumn("__seq", lit(m.lastBatchId))
+      .withColumn("__bucket", bucketExpr(keyCol, newBuckets))
+      .repartition(math.min(newBuckets,
+        math.max(spark.sparkContext.defaultParallelism, 32)), col("__bucket"))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(dir)
+    val newBase = listBucketFiles(dir, s"data/rebucket-v${m.lastBatchId}n$newBuckets")
+    commitAndGc(m, m.copy(buckets = newBase,
+      deltas = Map.empty, bucketCount = Some(newBuckets)))
   }
 
   /** Rewrite buckets whose delta chain reached maxDeltasPerBucket:
@@ -383,7 +433,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     */
   private def compactBuckets(base: Map[Int, Seq[String]],
       deltas: Map[Int, Seq[String]], version: String,
-      seq: Long, tableSchema: StructType): (Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
+      seq: Long, tableSchema: StructType,
+      nBuckets: Int): (Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
     val toCompact = deltas.filter(_._2.size >= maxDeltasPerBucket).keySet
     if (toCompact.isEmpty) (base, deltas)
     else {
@@ -392,7 +443,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       val baseDir = s"$root/data/base-$version"
       resolve(spark.read.schema(plusSeq(tableSchema)).parquet(files: _*))
         .withColumn("__seq", lit(seq)) // compacted rows re-stamped; deltas are newer by construction
-        .withColumn("__bucket", bucketOf(keyCol))
+        .withColumn("__bucket", bucketExpr(keyCol, nBuckets))
         .repartition(math.max(toCompact.size, 1), col("__bucket"))
         .sortWithinPartitions(col(keyCol))
         .write.mode("overwrite").partitionBy("__bucket").parquet(baseDir)
@@ -415,7 +466,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     if (!m.deltas.exists(_._2.size >= maxDeltasPerBucket)) return false
     val (b2, d2) =
       compactBuckets(m.buckets, m.deltas, s"v${m.lastBatchId}c",
-        m.lastBatchId, m.tableSchema.getOrElse(emptySchema))
+        m.lastBatchId, m.tableSchema.getOrElse(emptySchema), bucketsOf(m))
     commitAndGc(m, m.copy(buckets = b2, deltas = d2))
     true
   }

@@ -40,6 +40,32 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(t.lookup("conv_id", "a").columns.contains("quality"))
   }
 
+  test("rebucket: content identical, lookups and later merges use the new count") {
+    val dir = tmpDir("rebucket") + "/t"
+    val t = new IcebergLikeTable(dir, numBuckets = 2, emptySchema = baseSchema)
+    val keys = (0 until 40).map(i => s"conv-$i")
+    assert(t.merge(keys.map(k => (k, 1L)).toDF("conv_id", "v"), "conv_id", 0L))
+    val before = t.read().as[(String, Long)].collect().sorted.toSeq
+
+    t.rebucket(16)
+    assert(t.currentBuckets() === 16)
+    assert(t.read().as[(String, Long)].collect().sorted.toSeq === before)
+    // a READER process still constructed with the old numBuckets prunes
+    // via the committed count, not its constructor arg
+    val stale = new IcebergLikeTable(dir, numBuckets = 2, emptySchema = baseSchema)
+    keys.take(8).foreach { k =>
+      assert(stale.lookup("conv_id", k).as[(String, Long)].collect().toSeq
+        === Seq((k, 1L)), s"stale-handle lookup broken for $k")
+    }
+    // merges after the rebucket land in 16-bucket layout and stay readable
+    assert(stale.merge(keys.map(k => (k, 2L)).toDF("conv_id", "v"), "conv_id", 1L))
+    assert(t.read().as[(String, Long)].collect().forall(_._2 == 2L))
+    keys.take(4).foreach { k =>
+      assert(t.lookup("conv_id", k).as[(String, Long)].collect().toSeq
+        === Seq((k, 2L)))
+    }
+  }
+
   test("type change is rejected loudly") {
     val t = new IcebergLikeTable(tmpDir("evo-rej") + "/t", numBuckets = 2,
       emptySchema = baseSchema)
