@@ -50,6 +50,27 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("observe() metrics surface per-batch row counts without extra passes") {
+    // Dataset.observe computes metrics DURING the pass (an accumulator on
+    // the existing plan, zero extra jobs) and streams them through
+    // QueryProgress.observedMetrics — the Dataset-native complement to
+    // the O2 StreamingQueryListener.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val observed = mem.toDF().toDF("conv_id", "v")
+      .observe("ingest", count(lit(1)).as("rows"), sum($"v").as("v_sum"))
+    val q = observed.writeStream.outputMode("append")
+      .format("noop").start()
+    mem.addData(("a", 1L), ("b", 2L)); q.processAllAvailable()
+    mem.addData(("c", 4L)); q.processAllAvailable()
+    val metrics = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("ingest")))
+      .map(r => (r.getAs[Long]("rows"), r.getAs[Long]("v_sum")))
+    q.stop()
+    assert(metrics.contains((2L, 3L)) && metrics.contains((1L, 4L)),
+      s"missing batch metrics: $metrics")
+  }
+
   test("stream-static join enriches each micro-batch against the dim table") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
