@@ -31,11 +31,18 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** `tolerance`: maximum staleness — a right row older than
+    * `leftTs - tolerance` does not match (its payload nulls out), the
+    * pandas merge_asof semantic. Expressed as an interval-typed Column
+    * (e.g. `expr("INTERVAL 1 HOUR")`); applied as a residual condition
+    * after the carry-forward window, so the plan is unchanged.
+    */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightCols: Seq[String],
-      matchedTsAs: String = ""): DataFrame = {
-    val payload = if (matchedTsAs.isEmpty) rightCols
-      else rightCols :+ matchedTsAs
+      matchedTsAs: String = "", tolerance: Option[Column] = None): DataFrame = {
+    val needTs = matchedTsAs.nonEmpty || tolerance.nonEmpty
+    val tsName = if (matchedTsAs.nonEmpty) matchedTsAs else "__match_ts"
+    val payload = if (needTs) rightCols :+ tsName else rightCols
     val leftKeep = left.columns.toSeq
     val taggedL = left
       .withColumns(payload.map(c => c -> lit(null)).toMap)
@@ -45,8 +52,7 @@ object AsOfJoin {
       .select(keys.map(col) ++ rightCols.map(col) :+ col(rightTs).as("__ts"): _*)
       .withColumns(
         (leftKeep.filterNot(keys.contains).map(c => c -> lit(null)) ++
-          (if (matchedTsAs.isEmpty) Nil
-           else Seq(matchedTsAs -> col("__ts")))).toMap)
+          (if (needTs) Seq(tsName -> col("__ts")) else Nil)).toMap)
       .withColumn("__side", lit(0))
     val cols = keys ++ leftKeep.filterNot(keys.contains) ++ payload ++
       Seq("__ts", "__side")
@@ -57,7 +63,17 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payload.foldLeft(unioned)((df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    filled.filter(col("__side") === 1)
-      .select((leftKeep ++ payload).map(col): _*)
+    val lefts = filled.filter(col("__side") === 1)
+    // Staleness residual: a match older than leftTs - tolerance nulls out
+    val bounded = tolerance match {
+      case None => lefts
+      case Some(tol) =>
+        val fresh = col(tsName) >= col(leftTs) - tol
+        payload.foldLeft(lefts)((df, c) =>
+          df.withColumn(c, when(fresh, col(c))))
+    }
+    val outCols = leftKeep ++
+      (if (matchedTsAs.isEmpty) rightCols else rightCols :+ matchedTsAs)
+    bounded.select(outCols.map(col): _*)
   }
 }

@@ -45,6 +45,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === Map(1L -> Some(10L), 2L -> None, 3L -> None))
   }
 
+  test("tolerance nulls out matches staler than the bound") {
+    val left = Seq((1L, 1L, ts(100)), (2L, 1L, ts(500))).toDF("l_id", "k", "ts")
+    val right = Seq((10L, 1L, ts(90))).toDF("r_id", "k", "ts")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts", Seq("r_id"),
+      tolerance = Some(expr("INTERVAL 60 SECONDS")))
+      .select($"l_id", $"r_id").as[(Long, Option[Long])].collect().toMap
+    // l=1 at t=100: view at t=90 is 10s old -> within 60s; l=2 at t=500:
+    // 410s stale -> nulled
+    assert(got === Map(1L -> Some(10L), 2L -> None))
+  }
+
   test("plan has exactly one exchange (sort-merge shape, no range blowup)") {
     val left = (0 until 100).map(i => (i.toLong, i % 5L, ts(i))).toDF("l_id", "k", "ts")
     val right = (0 until 50).map(i => (i + 500L, i % 5L, ts(i * 2))).toDF("r_id", "k", "ts")
