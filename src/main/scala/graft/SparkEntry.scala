@@ -42,6 +42,10 @@ object SparkEntry {
     "w1_stream_tumbling" -> (StreamQueries.w1StreamTumbling _),
     // the real streaming pipeline, end-to-end (S1/S4/A1/O1/G2, H1)
     "s1_stream_snapshot" -> (StreamQueries.s1StreamSnapshot _),
+    // point lookup routed through SQL + the GraftBucketPrune optimizer rule
+    "q1_sql_lookup" -> (StreamQueries.q1SqlLookup _),
+    // latest-k turns per conversation: bounded-buffer Aggregator, ≤k rows/key/partition shuffled
+    "topk_per_key" -> (StreamQueries.topkPerKey _),
     "o1_lineage" -> (StreamQueries.o1Lineage _),
     "h1_lag" -> (StreamQueries.h1Lag _),
     // G1 streaming form: one source, two filtered targets, independent
@@ -233,6 +237,8 @@ object SparkEntry {
     "w4_tool_usage" -> WindowQueries.w4ToolUsageSql,
     "w1_stream_tumbling" -> StreamQueries.w1StreamTumblingSql,
     "s1_stream_snapshot" -> StreamQueries.s1StreamSnapshotSql,
+    "q1_sql_lookup" -> StreamQueries.q1SqlLookupSql,
+    "topk_per_key" -> StreamQueries.topkPerKeySql,
     "g1_stream_fanout" -> StreamQueries.g1StreamFanoutSql,
     "s1_ttl_snapshot" -> StreamQueries.s1StreamSnapshotSql, // same semantics, same oracle
     "s2_json_decode" -> SnapshotQueries.s2JsonDecodeSql,

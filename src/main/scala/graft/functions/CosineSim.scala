@@ -118,5 +118,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("band_sig"),
       new ExpressionInfo(classOf[BandSig].getName, "band_sig"),
       GraftFunctions.bandSigBuilder))
+    // storage-aware point-lookup rewrite for GraftScan leaves (plans/GraftScan.scala)
+    ext.injectOptimizerRule(_ => graft.plans.GraftBucketPrune)
   }
 }

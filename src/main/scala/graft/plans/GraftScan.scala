@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, Statistics}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+import graft.store.IcebergLikeTable
+
+/** Custom Catalyst leaf: "scan of an [[IcebergLikeTable]]" as a LOGICAL
+  * fact, not a baked file list. The table stays symbolic through analysis
+  * so the optimizer — not the caller — decides how to materialize it:
+  * [[GraftBucketPrune]] turns a `WHERE conv_id = 'k'` predicate into a
+  * single-bucket manifest read (the storage layout made visible to
+  * Catalyst), and everything else becomes the ordinary snapshot scan.
+  *
+  * This is the §4.1-style rewrite the built-in operators genuinely cannot
+  * express: Spark's parquet relation prunes *Hive-style partition dirs*
+  * and *footer ranges*, but the bucket of `hash(key) pmod B` under an
+  * equality predicate is knowable only to the engine that owns the
+  * manifest. znap answers the same query with a DynamoDB point `getItem`
+  * (reference: restapi/DynamoDBEntityReader.scala:38-73); here the
+  * planner routes SQL to the equivalent pruned read automatically.
+  *
+  * Registered per-session either via the public
+  * `spark.experimental.extraOptimizations` hook ([[GraftScan.install]])
+  * or via `SparkSessionExtensions.injectOptimizerRule`
+  * ([[graft.functions.GraftExtensions]]).
+  */
+final case class GraftScan(table: IcebergLikeTable, output: Seq[Attribute])
+    extends LeafNode with MultiInstanceRelation {
+  override def newInstance(): GraftScan =
+    copy(output = output.map(_.newInstance()))
+  // Pre-rewrite stats: report the default (large) size so a join against
+  // this relation is never broadcast on a guess; once the rule replaces
+  // the leaf with the real parquet scan, real file stats take over.
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = conf.defaultSizeInBytes)
+}
+
+object GraftScan {
+  /** The table as a DataFrame whose leaf is the symbolic [[GraftScan]] —
+    * register it as a temp view and the whole SQL surface (joins, aggs,
+    * point predicates) runs against the store with pruning decided at
+    * optimization time.
+    */
+  def relation(spark: SparkSession, table: IcebergLikeTable): DataFrame = {
+    val out: Seq[Attribute] = table.schema().fields.toSeq
+      .map(f => AttributeReference(f.name, f.dataType, f.nullable, f.metadata)())
+    Shim.ofRows(spark, GraftScan(table, out))
+  }
+
+  /** Install [[GraftBucketPrune]] on an existing session (idempotent). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(GraftBucketPrune))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftBucketPrune
+}
+
+/** Optimizer rewrite for [[GraftScan]] leaves:
+  *
+  *  - `Filter(... key = 'k' ...)` directly above the scan → the manifest-
+  *    pruned single-bucket read ([[IcebergLikeTable.lookup]]): O(1/B) of
+  *    the files, no job spent hashing (the bucket is computed driver-side
+  *    from the committed bucket count);
+  *  - any other shape → the ordinary snapshot-consistent [[IcebergLikeTable.read]].
+  *
+  * The replacement subplan is re-rooted under a Project that re-binds the
+  * original attribute ids, so every parent expression stays resolved. The
+  * full original predicate is kept above the pruned read — pruning is a
+  * superset guarantee (a key's rows live only in its bucket), the filter
+  * still enforces exact semantics, and residual non-key conjuncts are
+  * untouched. Runs once per plan: after rewrite no [[GraftScan]] remains,
+  * so the rule is a no-op at fixpoint.
+  */
+object GraftBucketPrune extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case Filter(cond, g: GraftScan) =>
+      val keyAttr = g.output.find(_.name == g.table.keyCol)
+      val key = keyAttr.flatMap { a =>
+        splitConjunctivePredicates(cond).collectFirst {
+          case EqualTo(l: AttributeReference, Literal(v: UTF8String, StringType))
+              if l.semanticEquals(a) => v.toString
+          case EqualTo(Literal(v: UTF8String, StringType), r: AttributeReference)
+              if r.semanticEquals(a) => v.toString
+        }
+      }
+      val scan = key match {
+        case Some(k) => g.table.lookup(g.table.keyCol, k)
+        case None    => g.table.read()
+      }
+      Filter(cond, rebind(g, scan))
+    case g: GraftScan => rebind(g, g.table.read())
+  }
+
+  /** Re-root `df`'s analyzed plan under the leaf's original attribute ids
+    * (aligned by column name — both sides derive from the committed table
+    * schema).
+    */
+  private def rebind(g: GraftScan, df: DataFrame): LogicalPlan = {
+    val replacement = df.queryExecution.analyzed
+    val byName = replacement.output.map(a => a.name -> a).toMap
+    Project(g.output.map { o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId,
+        qualifier = o.qualifier, explicitMetadata = Some(o.metadata))
+    }, replacement)
+  }
+}

@@ -99,6 +99,40 @@ object StreamQueries {
               a.turn_count, a.first_ts_us, a.last_ts_us
        FROM a JOIN r ON a.conv_id = r.conv_id AND r.rn = 1"""
 
+  /** Q1 through the OPTIMIZER (plans/GraftScan.scala): the snapshot table
+    * registered as a SQL view via the symbolic GraftScan leaf; the
+    * GraftBucketPrune rule rewrites the `WHERE conv_id = '7'` predicate
+    * into the single-bucket manifest read at plan time. Shares the s1
+    * pipeline run; the oracle is the s1 SQL restricted to the same key —
+    * machine-checked proof the Catalyst route equals the imperative
+    * `lookup()` semantics.
+    */
+  def q1SqlLookup(s: SparkSession, d: String): DataFrame = {
+    val table = runPipeline(s, d)._1
+    graft.plans.GraftScan.install(s)
+    graft.plans.GraftScan.relation(s, table).createOrReplaceTempView("graft_snapshot")
+    s.sql(
+      """SELECT conv_id, CAST(last_turn_idx AS BIGINT) AS last_turn_idx,
+         last_role, turn_count,
+         unix_micros(first_ts) AS first_ts_us,
+         unix_micros(last_ts) AS last_ts_us
+         FROM graft_snapshot WHERE conv_id = '7'""")
+  }
+
+  val q1SqlLookupSql: String =
+    """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                         event_id AS turn_idx, event_type AS role, ts
+                  FROM events WHERE user_id = 7),
+       r AS (SELECT conv_id, turn_idx, role, row_number() OVER
+               (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rn FROM t),
+       a AS (SELECT conv_id, count(*) AS turn_count,
+                    min(epoch_us(ts)) AS first_ts_us,
+                    max(epoch_us(ts)) AS last_ts_us
+             FROM t GROUP BY conv_id)
+       SELECT a.conv_id, r.turn_idx AS last_turn_idx, r.role AS last_role,
+              a.turn_count, a.first_ts_us, a.last_ts_us
+       FROM a JOIN r ON a.conv_id = r.conv_id AND r.rn = 1"""
+
   /** Typed-Aggregator surface (SURVEY.md §2.2 UDAF row): the same fold as
     * the streaming pipeline, run as a batch `Aggregator[Turn,Buf,Snap]` —
     * shares the s1 oracle, so Aggregator == streaming == SQL.
@@ -114,6 +148,32 @@ object StreamQueries {
         unix_micros(col("first_ts")).as("first_ts_us"),
         unix_micros(col("last_ts")).as("last_ts_us"))
   }
+
+  /** Per-conversation latest-k turns via the bounded-buffer Aggregator
+    * (functions/TopKPerKey.scala): ObjectHashAggregate with map-side
+    * partial combine — ≤ k rows per key per partition cross the one
+    * shuffle, vs the window formulation shuffling and sorting every row.
+    * Oracle: the row_number window SQL, proving the bounded buffer loses
+    * nothing.
+    */
+  def topkPerKey(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    eventsAsTurns(s, d).as[Turn]
+      .groupByKey(_.conv_id)
+      .agg(new graft.functions.TopKPerKey.LatestK(3).toColumn.name("topk"))
+      .toDF("conv_id", "topk")
+      .select(col("conv_id"), explode(col("topk.items")).as("t"))
+      .select(col("conv_id"), col("t.turn_idx").as("turn_idx"),
+        col("t.role").as("role"))
+  }
+
+  val topkPerKeySql: String =
+    """SELECT conv_id, turn_idx, role FROM (
+         SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id AS turn_idx,
+                event_type AS role,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) AS rn
+         FROM events) WHERE rn <= 3"""
 
   /** O1/H1 exhibit: per-batch lineage + lag of the same run (rows-only:
     * per-batch partition stats depend on the runner's core count).

@@ -20,6 +20,16 @@ object Shim {
   def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
 
+  /** DataFrame from a logical plan (Dataset.ofRows is private[sql]) —
+    * lets graft.plans.GraftScan surface a custom leaf node as an ordinary
+    * DataFrame / temp view.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a native-Expression SQL function on an EXISTING session
     * (the FunctionRegistry is private[sql]; new sessions can instead use
     * graft.functions.GraftExtensions via spark.sql.extensions).

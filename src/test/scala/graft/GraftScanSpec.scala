@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import graft.plans.GraftScan
+import graft.store.IcebergLikeTable
+
+/** The custom-Catalyst exhibit: GraftScan leaf + GraftBucketPrune rule.
+  * A WHERE key='k' predicate over the symbolic relation must plan as a
+  * single-bucket manifest read; every other shape must plan as the full
+  * snapshot scan — same rows as the imperative API either way.
+  */
+class GraftScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(): IcebergLikeTable = {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val t = new IcebergLikeTable(tmpDir("graft-scan"), numBuckets = 8,
+      emptySchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "conv_id string, turn_count int, last_role string"))
+    val rows = (0 until 200).map(i => (s"c$i", i % 7 + 1, if (i % 2 == 0) "user" else "assistant"))
+    t.merge(rows.toDF("conv_id", "turn_count", "last_role"), "conv_id", 0L)
+    // second batch: updates for a subset → deltas exist, resolve() path live
+    val upd = (0 until 50).map(i => (s"c$i", 99, "tool"))
+    t.merge(upd.toDF("conv_id", "turn_count", "last_role"), "conv_id", 1L)
+    t
+  }
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.inputFiles.toSeq
+    }.flatten
+
+  test("point predicate over the SQL view prunes to one bucket and matches lookup()") {
+    GraftScan.install(spark)
+    val t = mkTable()
+    GraftScan.relation(spark, t).createOrReplaceTempView("graft_snap")
+
+    val q = spark.sql(
+      "SELECT conv_id, turn_count, last_role FROM graft_snap WHERE conv_id = 'c7'")
+    val full = scannedFiles(GraftScan.relation(spark, t))
+    val pruned = scannedFiles(q)
+    assert(pruned.nonEmpty && full.nonEmpty)
+    assert(pruned.size < full.size,
+      s"expected bucket pruning: scanned ${pruned.size} of ${full.size} files")
+    // exactly the files of c7's bucket (base + delta), nothing else
+    assert(pruned.toSet.subsetOf(full.toSet))
+
+    val viaSql = q.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val viaApi = t.lookup("conv_id", "c7").select("conv_id", "turn_count", "last_role")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(viaSql.toSeq == viaApi.toSeq)
+    assert(viaSql.toSeq == Seq(("c7", 99, "tool"))) // the batch-1 update won
+  }
+
+  test("non-key shapes fall back to the full snapshot scan with identical rows") {
+    GraftScan.install(spark)
+    val t = mkTable()
+    val rel = GraftScan.relation(spark, t)
+    rel.createOrReplaceTempView("graft_snap2")
+
+    // aggregation over the view == aggregation over the imperative read
+    val viaSql = spark.sql(
+      "SELECT last_role, count(*) AS n FROM graft_snap2 GROUP BY last_role ORDER BY last_role")
+      .as[(String, Long)].collect().toSeq
+    val viaApi = t.read().groupBy("last_role").agg(count("*").as("n"))
+      .orderBy("last_role").as[(String, Long)].collect().toSeq
+    assert(viaSql == viaApi)
+
+    // non-key predicate: full file set, filtered rows still correct
+    val q = spark.sql("SELECT conv_id FROM graft_snap2 WHERE turn_count = 99")
+    assert(scannedFiles(q).size == scannedFiles(rel).size)
+    assert(q.count() == 50)
+
+    // residual conjunct alongside the key predicate is enforced
+    val none = spark.sql(
+      "SELECT conv_id FROM graft_snap2 WHERE conv_id = 'c7' AND turn_count = 1")
+    assert(none.count() == 0)
+  }
+
+  test("pruned and full plans agree for every key (superset guarantee)") {
+    GraftScan.install(spark)
+    val t = mkTable()
+    GraftScan.relation(spark, t).createOrReplaceTempView("graft_snap3")
+    val expect = t.read().select("conv_id", "turn_count").as[(String, Int)]
+      .collect().toMap
+    Seq("c0", "c49", "c50", "c199", "absent").foreach { k =>
+      val got = spark.sql(
+        s"SELECT turn_count FROM graft_snap3 WHERE conv_id = '$k'")
+        .as[Int].collect().toSeq
+      assert(got == expect.get(k).toSeq, s"key $k")
+    }
+  }
+}

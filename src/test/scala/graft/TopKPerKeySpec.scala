@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TopKPerKey
+import graft.functions.TopKPerKey.{LatestK, TopBuf, TurnAt}
+import graft.model.Turn
+
+/** Bounded-buffer per-key top-k: algebraic properties of the Aggregator
+  * (no-loss vs the window formulation, partition invariance, bounded
+  * buffer) and the partial-aggregate plan shape.
+  */
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def turn(c: String, i: Int, role: String = "user"): Turn =
+    Turn(c, i, role, s"text-$i", "", new Timestamp(1700000000000L + i * 1000L))
+
+  private def viaAgg(ds: org.apache.spark.sql.Dataset[Turn], k: Int) =
+    ds.groupByKey(_.conv_id).agg(new LatestK(k).toColumn.name("topk"))
+      .toDF("conv_id", "topk")
+      .select(col("conv_id"), explode(col("topk.items")).as("t"))
+      .select(col("conv_id"), col("t.turn_idx").as("turn_idx"))
+      .as[(String, Int)].collect().toSet
+
+  private def viaWindow(ds: org.apache.spark.sql.Dataset[Turn], k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    ds.toDF()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("conv_id").orderBy(col("turn_idx").desc)))
+      .filter(col("rn") <= k).select(col("conv_id"), col("turn_idx"))
+      .as[(String, Int)].collect().toSet
+  }
+
+  test("aggregator equals the window formulation on a shuffled corpus") {
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 2000).map { _ =>
+      turn(s"c${rnd.nextInt(40)}", rnd.nextInt(100000))
+    }.distinctBy(t => (t.conv_id, t.turn_idx))
+    val ds = spark.createDataset(rnd.shuffle(data))
+    Seq(1, 3, 8).foreach { k =>
+      assert(viaAgg(ds, k) == viaWindow(ds, k), s"k=$k")
+    }
+  }
+
+  test("result is partition-invariant (merge correctness)") {
+    val data = (0 until 500).map(i => turn(s"c${i % 5}", i))
+    val one = viaAgg(spark.createDataset(data).repartition(1), 3)
+    val many = viaAgg(spark.createDataset(data).repartition(13), 3)
+    assert(one == many && one.size == 15)
+  }
+
+  test("buffer is bounded at k and ordered descending") {
+    val agg = new LatestK(3)
+    val b = (1 to 100).foldLeft(agg.zero)((b, i) => agg.reduce(b, turn("c", i)))
+    assert(b.items.map(_.turn_idx) == List(100, 99, 98))
+    val merged = agg.merge(b,
+      TopBuf(List(TurnAt(101, "user", "x"), TurnAt(1, "user", "y"))))
+    assert(merged.items.map(_.turn_idx) == List(101, 100, 99))
+  }
+
+  test("plans as ObjectHashAggregate with a map-side partial pass") {
+    val ds = spark.createDataset((0 until 100).map(i => turn(s"c${i % 4}", i)))
+    val df = ds.groupByKey(_.conv_id).agg(new LatestK(3).toColumn.name("topk"))
+    val plan = df.queryExecution.executedPlan.toString
+    // two ObjectHashAggregate nodes (partial + final) around one exchange,
+    // and no Window/partition-wide Sort anywhere
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+}
