@@ -36,6 +36,8 @@ object SparkEntry {
     "w1_tumbling" -> (WindowQueries.w1Tumbling _),
     "w2_sliding" -> (WindowQueries.w2Sliding _),
     "w3_session" -> (WindowQueries.w3Session _),
+    // streaming session windows through an append-mode sink (state-store session merge)
+    "w3_stream_session" -> (StreamQueries.w3StreamSession _),
     "w4_tool_usage" -> (WindowQueries.w4ToolUsage _),
     // the windowed analog of s1_stream_snapshot: append-mode streaming
     // tumbling agg, watermark-closed into a parquet sink, then read back
@@ -234,6 +236,7 @@ object SparkEntry {
     "w1_tumbling" -> WindowQueries.w1TumblingSql,
     "w2_sliding" -> WindowQueries.w2SlidingSql,
     "w3_session" -> WindowQueries.w3SessionSql,
+    "w3_stream_session" -> WindowQueries.w3SessionSql,
     "w4_tool_usage" -> WindowQueries.w4ToolUsageSql,
     "w1_stream_tumbling" -> StreamQueries.w1StreamTumblingSql,
     "s1_stream_snapshot" -> StreamQueries.s1StreamSnapshotSql,

@@ -323,6 +323,69 @@ object StreamQueries {
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
        FROM events GROUP BY 1"""
 
+  // ---- streaming SESSION windows (append mode, watermark-closed) ------
+  private val sessionCache = mutable.Map[(SparkSession, String), String]()
+
+  /** The session analog of [[runWindowPipeline]]: file stream (time-
+    * ordered micro-batches) → 1-minute watermark → 30-minute-gap
+    * `session_window` per user → append-mode parquet sink. Sessions merge
+    * across micro-batches in the state store and emit only once the
+    * watermark passes session end + gap; the same far-future sentinel
+    * (user_id −1) closes every real session while its own never emits.
+    * Proves the stateful session-merge path end-to-end against the batch
+    * gap-and-sum SQL oracle.
+    */
+  private def runSessionPipeline(s: SparkSession, d: String): String =
+    sessionCache.synchronized {
+      sessionCache.getOrElseUpdate((s, d), {
+        import s.implicits._
+        val tmp = Files.createTempDirectory("graft-session-q").toString
+        val inDir = s"$tmp/in"
+        val src = Tables.events(s, d).select(col("user_id"), col("ts"))
+        src.repartitionByRange(4, col("ts")).write.parquet(inDir)
+        val stamped = stampAscending(inDir)
+        val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
+        Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000)))
+          .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(inDir)
+        val sentinelFiles = {
+          val ls = Files.list(java.nio.file.Paths.get(inDir))
+          try ls.iterator().asScala.toSeq
+            .filter(p => p.toString.endsWith(".parquet") && !stamped.contains(p))
+          finally ls.close()
+        }
+        sentinelFiles.foreach(p => Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + 1000L * 60000L)))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType)))
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val outDir = s"$tmp/out"
+        val q = stream.withWatermark("ts", "1 minute")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            unix_micros(col("session_window.end")).as("session_end_us"),
+            col("n_events"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .format("parquet").option("path", outDir)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        outDir
+      })
+    }
+
+  /** Streaming session windows, DuckDB-oracled with w3's batch SQL. */
+  def w3StreamSession(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(runSessionPipeline(s, d))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+
   // ---- G1: streaming multi-target fan-out -----------------------------
   /** The two per-target filters mirror the batch g1_fanout exhibit. */
   private val fanoutTargets: Seq[(String, Seq[String])] = Seq(
