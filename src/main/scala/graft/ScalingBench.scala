@@ -24,7 +24,12 @@ import graft.snapshot.SnapshotFold
   */
 object ScalingBench {
 
-  val SharedInput = "/tmp/graft-scaling-input/turns"
+  /** Input dir override (SPARK_GRAFT_INPUT): lets a measurement use an
+    * alternate distribution — e.g. the long-conversation input for the
+    * per-key top-k crossover — without perturbing the standard one.
+    */
+  def SharedInput: String =
+    sys.env.getOrElse("SPARK_GRAFT_INPUT", "/tmp/graft-scaling-input/turns")
 
   def main(args: Array[String]): Unit = {
     val cores = args.headOption.map(_.toInt)
@@ -64,6 +69,19 @@ object ScalingBench {
       df.write.mode("overwrite").format("noop").save()
     def best(body: => Unit): Double =
       (1 to reps).map(_ => Bench.time(body)._2).min
+
+    // Shuffle-write bytes per workload: locally a shuffle is page-cache
+    // I/O and invisible in wall time, but on a real cluster it is network
+    // — bytes are the number that predicts 100-TB behavior, so report
+    // them alongside seconds (averaged over reps; identical per rep).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
 
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def want(k: String) = only.forall(_.contains(k))
@@ -134,15 +152,49 @@ object ScalingBench {
         noop(graft.dedup.ConnectedComponents.components(edges, "src", "dst",
           verbose = sys.env.contains("SPARK_GRAFT_DEBUG")))
       }),
+      // per-key top-k ("latest k turns per conversation"): the bounded-
+      // buffer Aggregator vs the row_number window formulation on the
+      // same input — quantifies the partial-agg shuffle reduction
+      // (functions/TopKPerKey: ≤k rows/key/partition cross the shuffle
+      // vs every row shuffled + partition-sorted)
+      "topk_agg" -> (() => best {
+        import spark.implicits._
+        noop(spark.read.parquet(SharedInput).as[graft.model.Turn]
+          .groupByKey(_.conv_id)
+          .agg(new graft.functions.TopKPerKey.LatestK(8).toColumn.name("topk"))
+          .toDF("conv_id", "topk"))
+      }),
+      // native TypedImperativeAggregate form: same shuffle reduction as
+      // topk_agg without the Dataset-encoder decode per row
+      "topk_native" -> (() => best {
+        noop(spark.read.parquet(SharedInput)
+          .groupBy(col("conv_id"))
+          .agg(graft.functions.GraftFunctions.bounded_topk(8, col("turn_idx"),
+            struct(col("turn_idx"), col("role"), col("text"))).as("topk")))
+      }),
+      "topk_window" -> (() => best {
+        import org.apache.spark.sql.expressions.Window
+        noop(spark.read.parquet(SharedInput)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("conv_id").orderBy(col("turn_idx").desc)))
+          .filter(col("rn") <= 8)
+          .select("conv_id", "turn_idx", "role", "text"))
+      }),
       "stream_fold" -> (() => (1 to reps).map(_ =>
         Bench.streamFoldOnly(spark, SharedInput, files = 256)).min),
       "stream_build" -> (() => (1 to reps).map(_ =>
         Bench.streamBuild(spark, SharedInput, files = 256)._1).min))
-    val results = all.filter(w => want(w._1)).map { case (k, f) => k -> f() }
+    val results = all.filter(w => want(w._1)).map { case (k, f) =>
+      shuffleBytes.set(0L)
+      val sec = f()
+      org.apache.spark.sql.graftshim.Shim.waitListenerBus(spark.sparkContext)
+      (k, sec, shuffleBytes.get.toDouble / reps / 1e6)
+    }
 
-    results.foreach { case (k, sec) =>
+    results.foreach { case (k, sec, mb) =>
       println(f"""{"workload":"$k","cores":$cores,"turns":$rows,""" +
-        f""""sec":$sec%.3f,"turns_per_sec":${rows / sec}%.0f}""")
+        f""""sec":$sec%.3f,"turns_per_sec":${rows / sec}%.0f,""" +
+        f""""shuffle_mb":$mb%.1f}""")
     }
     spark.stop()
   }
@@ -163,7 +215,11 @@ object GenTurns {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val p = graft.gen.Synthetic.paramsForTurns(nTurns)
+    // SPARK_GRAFT_AVG_TURNS reshapes the conversation-length distribution
+    // (default 300 ≈ 24 turns/conv after the Zipf tail; 50000 ≈ thousands
+    // of turns/conv — the long-transcript regime)
+    val avg = sys.env.getOrElse("SPARK_GRAFT_AVG_TURNS", "300").toInt
+    val p = graft.gen.Synthetic.paramsForTurns(nTurns, avgTurns = avg)
       .copy(hotConvs = 4, hotSize = 20000)
     graft.gen.Synthetic.turns(spark, p, slices = 128)
       .repartitionByRange(256, col("conv_id"), col("turn_idx"))

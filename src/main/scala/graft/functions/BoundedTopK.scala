@@ -1,0 +1,171 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Native bounded per-key top-k aggregate: `bounded_topk(k, ord, payload)`
+  * keeps the k payload structs with the greatest `ord` values.
+  *
+  * Why a native TypedImperativeAggregate and not the typed Aggregator
+  * (functions/TopKPerKey.scala): the Aggregator's update path must decode
+  * every input row into a JVM case class and re-encode the buffer through
+  * the Dataset encoder — measured 1.8× SLOWER than the naive window
+  * formulation at 16M turns despite shuffling 6× less (ScalingBench
+  * `topk_agg` vs `topk_window`). This expression works on `InternalRow`s
+  * directly: update copies the payload struct only when it enters the
+  * buffer (the common case for a full buffer is one long comparison and
+  * no allocation), so the partial-aggregate shuffle reduction is kept
+  * and the per-row decode tax is gone. Same plan shape as
+  * `percentile_approx`/`collect_list`: ObjectHashAggregate, partial +
+  * final around one exchange.
+  *
+  * Semantics: rows with null `ord` or null `payload` are ignored; ties on
+  * `ord` are broken arbitrarily (callers wanting determinism make `ord`
+  * unique, as turn_idx is per conversation). Output: array<payload>
+  * sorted by `ord` descending.
+  */
+case class BoundedTopK(k: Int, ord: Expression, payload: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BoundedTopK.Buf] with BinaryLike[Expression] {
+
+  require(k > 0, "bounded_topk: k must be positive")
+
+  override def left: Expression = ord
+  override def right: Expression = payload
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BoundedTopK =
+    copy(ord = newLeft, payload = newRight)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ord.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | TimestampType =>
+        payload.dataType match {
+          case _: StructType =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+          case other =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+              s"bounded_topk payload must be a struct, got ${other.simpleString}")
+        }
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bounded_topk ordering must be integral or timestamp, got ${other.simpleString}")
+    }
+
+  private def payloadType: StructType = payload.dataType.asInstanceOf[StructType]
+  override def dataType: DataType = ArrayType(payloadType, containsNull = false)
+  override def nullable: Boolean = false
+
+  private def ordLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => other.asInstanceOf[Number].longValue()
+  }
+
+  override def createAggregationBuffer(): BoundedTopK.Buf = new BoundedTopK.Buf(k)
+
+  override def update(buf: BoundedTopK.Buf, input: InternalRow): BoundedTopK.Buf = {
+    val o = ord.eval(input)
+    if (o != null) {
+      val ov = ordLong(o)
+      if (!buf.fullAndBelowMin(ov)) {
+        val p = payload.eval(input)
+        if (p != null) buf.insert(ov, p.asInstanceOf[InternalRow].copy())
+      }
+    }
+    buf
+  }
+
+  override def merge(a: BoundedTopK.Buf, b: BoundedTopK.Buf): BoundedTopK.Buf = {
+    b.foreach((ov, row) => if (!a.fullAndBelowMin(ov)) a.insert(ov, row))
+    a
+  }
+
+  override def eval(buf: BoundedTopK.Buf): Any =
+    new GenericArrayData(buf.rowsDescending.asInstanceOf[Array[Any]])
+
+  // ---- shuffle format: length-prefixed UnsafeRows of (ord, payload) ----
+  @transient private lazy val serProj =
+    UnsafeProjection.create(Array[DataType](LongType, payloadType))
+
+  override def serialize(buf: BoundedTopK.Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { (ov, row) =>
+      val u = serProj(InternalRow(ov, row))
+      val bytes = u.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedTopK.Buf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new BoundedTopK.Buf(k)
+    val nPayloadFields = payloadType.size
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val rowBytes = new Array[Byte](len)
+      in.readFully(rowBytes)
+      val u = new UnsafeRow(2)
+      u.pointTo(rowBytes, len)
+      buf.insert(u.getLong(0), u.getStruct(1, nPayloadFields).copy())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "bounded_topk"
+}
+
+object BoundedTopK {
+
+  /** Size-bounded descending (ord, row) buffer: parallel arrays kept
+    * sorted by ord descending, insertion by shift (k is small — tens at
+    * most — so a shift beats heap bookkeeping). The hot path for a full
+    * buffer is [[fullAndBelowMin]]: one comparison, no allocation.
+    */
+  final class Buf(k: Int) {
+    private val ords = new Array[Long](k)
+    private val rows = new Array[InternalRow](k)
+    private var n = 0
+
+    def size: Int = n
+    def fullAndBelowMin(ov: Long): Boolean = n == k && ov <= ords(n - 1)
+
+    def insert(ov: Long, row: InternalRow): Unit = {
+      if (n == k && ov <= ords(n - 1)) return
+      var i = if (n == k) n - 1 else n
+      // shift entries smaller than ov one slot right (dropping the last
+      // when full), then place (ov, row)
+      while (i > 0 && ords(i - 1) < ov) {
+        ords(i) = ords(i - 1); rows(i) = rows(i - 1); i -= 1
+      }
+      ords(i) = ov; rows(i) = row
+      if (n < k) n += 1
+    }
+
+    def foreach(f: (Long, InternalRow) => Unit): Unit = {
+      var i = 0
+      while (i < n) { f(ords(i), rows(i)); i += 1 }
+    }
+
+    def rowsDescending: Array[InternalRow] = java.util.Arrays.copyOf(rows, n)
+  }
+}

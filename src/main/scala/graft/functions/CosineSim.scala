@@ -77,6 +77,13 @@ object GraftFunctions {
   def band_sig(c: Column, bands: Int, planesPerBand: Int): Column =
     BandSig(c, bands, planesPerBand)
 
+  /** Native bounded per-key top-k (functions/BoundedTopK.scala):
+    * `df.groupBy(key).agg(bounded_topk(8, $"turn_idx", struct(...)))`.
+    */
+  def bounded_topk(k: Int, ord: Column, payload: Column): Column =
+    Shim.column(BoundedTopK(k, Shim.expression(ord), Shim.expression(payload))
+      .toAggregateExpression())
+
   private[functions] def cosineSimBuilder(
       args: Seq[Expression]): Expression = {
     require(args.length == 2, s"cosine_sim takes 2 arguments, got ${args.length}")
@@ -94,13 +101,27 @@ object GraftFunctions {
     BandSig(args(0), intArg(args(1), "bands"), intArg(args(2), "planesPerBand"))
   }
 
+  private[functions] def boundedTopKBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 3,
+      s"bounded_topk takes (k, ord, payload), got ${args.length} args")
+    val k = args(0).eval(null) match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"bounded_topk k must be an integer literal, got $other")
+    }
+    // bare AggregateFunction: the analyzer wraps it in AggregateExpression
+    BoundedTopK(k, args(1), args(2))
+  }
+
   /** Make the native functions reachable from SQL text on an existing
     * session: `SELECT cosine_sim(embedding, q_emb)`,
-    * `SELECT band_sig(embedding, 4, 4)`.
+    * `SELECT band_sig(embedding, 4, 4)`,
+    * `SELECT bounded_topk(3, turn_idx, struct(role, text)) ... GROUP BY conv_id`.
     */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     Shim.registerFunction(spark, "cosine_sim", cosineSimBuilder)
     Shim.registerFunction(spark, "band_sig", bandSigBuilder)
+    Shim.registerFunction(spark, "bounded_topk", boundedTopKBuilder)
   }
 }
 
@@ -118,6 +139,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("band_sig"),
       new ExpressionInfo(classOf[BandSig].getName, "band_sig"),
       GraftFunctions.bandSigBuilder))
+    ext.injectFunction((FunctionIdentifier("bounded_topk"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_topk"),
+      GraftFunctions.boundedTopKBuilder))
     // storage-aware point-lookup rewrite for GraftScan leaves (plans/GraftScan.scala)
     ext.injectOptimizerRule(_ => graft.plans.GraftBucketPrune)
   }

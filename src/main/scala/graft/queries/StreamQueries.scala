@@ -167,6 +167,20 @@ object StreamQueries {
         col("t.role").as("role"))
   }
 
+  /** Same query through the NATIVE bounded_topk TypedImperativeAggregate
+    * (functions/BoundedTopK.scala): no Dataset-encoder round trip on the
+    * update path — the form that beats the window formulation at scale
+    * (BENCH.md per-key top-k table). Shares topk_per_key's oracle.
+    */
+  def topkPerKeyNative(s: SparkSession, d: String): DataFrame =
+    eventsAsTurns(s, d)
+      .groupBy(col("conv_id"))
+      .agg(graft.functions.GraftFunctions.bounded_topk(3, col("turn_idx"),
+        struct(col("turn_idx"), col("role"))).as("topk"))
+      .select(col("conv_id"), explode(col("topk")).as("t"))
+      .select(col("conv_id"), col("t.turn_idx").as("turn_idx"),
+        col("t.role").as("role"))
+
   val topkPerKeySql: String =
     """SELECT conv_id, turn_idx, role FROM (
          SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id AS turn_idx,

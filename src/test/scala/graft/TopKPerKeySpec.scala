@@ -60,6 +60,24 @@ class TopKPerKeySpec extends SparkSpec {
     assert(merged.items.map(_.turn_idx) == List(101, 100, 99))
   }
 
+  test("window formulation plans a map-side WindowGroupLimit (the measured winner)") {
+    // The measured discovery behind BENCH.md's per-key top-k table:
+    // Spark 4 plans `row_number ... filter rn <= k` with WindowGroupLimit
+    // in Partial mode BELOW the exchange — the idiomatic window+filter
+    // already prunes each map partition to k rows per key before
+    // shuffling (2.4 MB shuffled for 16.7M long-conv rows), while staying
+    // whole-stage-codegen'd. It is therefore the recommended formulation;
+    // the Aggregator/native forms remain for the array-valued API shape.
+    import org.apache.spark.sql.expressions.Window
+    val ds = spark.createDataset((0 until 300).map(i => turn(s"c${i % 3}", i)))
+    val plan = ds.toDF()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("conv_id").orderBy(col("turn_idx").desc)))
+      .filter(col("rn") <= 3)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan) // partial + final
+  }
+
   test("plans as ObjectHashAggregate with a map-side partial pass") {
     val ds = spark.createDataset((0 until 100).map(i => turn(s"c${i % 4}", i)))
     val df = ds.groupByKey(_.conv_id).agg(new LatestK(3).toColumn.name("topk"))
