@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, In, InSet, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftshim.Shim
@@ -80,17 +80,27 @@ object GraftBucketPrune extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case Filter(cond, g: GraftScan) =>
       val keyAttr = g.output.find(_.name == g.table.keyCol)
-      val key = keyAttr.flatMap { a =>
+      // key = 'k', key IN ('a','b',...), and the optimizer's InSet form
+      // all prune; OptimizeIn may have run first, so both shapes appear.
+      val keys: Option[Seq[String]] = keyAttr.flatMap { a =>
         splitConjunctivePredicates(cond).collectFirst {
           case EqualTo(l: AttributeReference, Literal(v: UTF8String, StringType))
-              if l.semanticEquals(a) => v.toString
+              if l.semanticEquals(a) => Seq(v.toString)
           case EqualTo(Literal(v: UTF8String, StringType), r: AttributeReference)
-              if r.semanticEquals(a) => v.toString
+              if r.semanticEquals(a) => Seq(v.toString)
+          case In(l: AttributeReference, vs)
+              if l.semanticEquals(a) &&
+                vs.forall(_.isInstanceOf[Literal]) &&
+                vs.forall(_.dataType == StringType) =>
+            vs.collect { case Literal(v: UTF8String, StringType) => v.toString }
+          case InSet(l: AttributeReference, vs) if l.semanticEquals(a) =>
+            vs.toSeq.collect { case v: UTF8String => v.toString }
         }
       }
-      val scan = key match {
-        case Some(k) => g.table.lookup(g.table.keyCol, k)
-        case None    => g.table.read()
+      val scan = keys match {
+        case Some(Seq(k)) => g.table.lookup(g.table.keyCol, k)
+        case Some(ks) if ks.nonEmpty => g.table.lookupMany(g.table.keyCol, ks)
+        case _ => g.table.read()
       }
       Filter(cond, rebind(g, scan))
     case g: GraftScan => rebind(g, g.table.read())

@@ -264,25 +264,47 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     */
   def lookup(c: String, key: String): DataFrame = {
     require(c == keyCol, s"lookup key column '$c' != table key '$keyCol'")
-    val m = readManifest()
+    lookupPruned(Seq(key), col(c) === key)
+  }
+
+  /** Multi-key point read (the batch-get shape): prunes to the UNION of
+    * the keys' buckets — for a k-key get over a B-bucket table, at most
+    * min(k, B) buckets are scanned instead of B.
+    */
+  def lookupMany(c: String, keys: Seq[String]): DataFrame = {
+    require(c == keyCol, s"lookup key column '$c' != table key '$keyCol'")
+    lookupPruned(keys, col(c).isin(keys: _*))
+  }
+
+  /** Bucket of `key` under the COMMITTED bucket count, computed by
+    * evaluating Catalyst's own Murmur3Hash on the driver — consistent
+    * with [[bucketOf]]'s `hash()` by construction (same expression
+    * class, same default seed), and no Spark job is spent hashing.
+    */
+  private def driverBucket(key: String, nb: Int): Int = {
     val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
       org.apache.spark.sql.catalyst.expressions.Literal(
         org.apache.spark.unsafe.types.UTF8String.fromString(key),
         org.apache.spark.sql.types.StringType)), 42)
       .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
       .asInstanceOf[Int]
+    ((h % nb) + nb) % nb
+  }
+
+  private def lookupPruned(keys: Seq[String], pred: Column): DataFrame = {
+    val m = readManifest()
     val nb = bucketsOf(m)
-    val bucket = ((h % nb) + nb) % nb
-    val base = m.buckets.getOrElse(bucket, Nil)
-    val delta = m.deltas.getOrElse(bucket, Nil)
+    val hit = keys.map(driverBucket(_, nb)).distinct.sorted
+    val base = hit.flatMap(b => m.buckets.getOrElse(b, Nil))
+    val delta = hit.flatMap(b => m.deltas.getOrElse(b, Nil))
     val files = (base ++ delta).map(f => s"$root/$f")
     // Explicit committed schema (+__seq): a point read must not pay a
     // footer-probe job for schema inference.
     if (files.isEmpty)
-      emptyDf(m.tableSchema.getOrElse(emptySchema)).where(col(c) === key)
+      emptyDf(m.tableSchema.getOrElse(emptySchema)).where(pred)
     else if (delta.isEmpty)
-      scanWith(m, files).drop("__seq").where(col(c) === key)
-    else resolve(scanWith(m, files).where(col(c) === key))
+      scanWith(m, files).drop("__seq").where(pred)
+    else resolve(scanWith(m, files).where(pred))
   }
 
   def lineage(): DataFrame = {

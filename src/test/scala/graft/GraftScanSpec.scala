@@ -54,6 +54,27 @@ class GraftScanSpec extends SparkSpec {
     assert(viaSql.toSeq == Seq(("c7", 99, "tool"))) // the batch-1 update won
   }
 
+  test("IN-list predicate (batch get) prunes to the union of the keys' buckets") {
+    GraftScan.install(spark)
+    val t = mkTable()
+    val rel = GraftScan.relation(spark, t)
+    rel.createOrReplaceTempView("graft_snap_in")
+    // small IN stays In; >10 items becomes InSet via OptimizeIn — cover both
+    val small = spark.sql(
+      "SELECT conv_id, turn_count FROM graft_snap_in WHERE conv_id IN ('c7','c8')")
+    val big = spark.sql("SELECT conv_id, turn_count FROM graft_snap_in WHERE conv_id IN (" +
+      (0 until 12).map(i => s"'c$i'").mkString(",") + ")")
+    val full = scannedFiles(rel).size
+    assert(scannedFiles(small).size < full)
+    assert(scannedFiles(big).size <= full)
+    assert(small.collect().map(_.getString(0)).sorted.toSeq == Seq("c7", "c8"))
+    assert(big.count() == 12)
+    val viaApi = t.lookupMany("conv_id", Seq("c7", "c8"))
+      .select("conv_id", "turn_count").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(viaApi == Set(("c7", 99), ("c8", 99))) // both in the batch-1 update range
+  }
+
   test("non-key shapes fall back to the full snapshot scan with identical rows") {
     GraftScan.install(spark)
     val t = mkTable()
