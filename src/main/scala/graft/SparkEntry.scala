@@ -48,6 +48,8 @@ object SparkEntry {
     "q1_sql_lookup" -> (StreamQueries.q1SqlLookup _),
     // latest-k turns per conversation: bounded-buffer Aggregator, ≤k rows/key/partition shuffled
     "topk_per_key" -> (StreamQueries.topkPerKey _),
+    // incremental/CDC read: changed keys at current state, post-v files only
+    "cdc_read" -> (StreamQueries.cdcRead _),
     "topk_per_key_native" -> (StreamQueries.topkPerKeyNative _),
     "o1_lineage" -> (StreamQueries.o1Lineage _),
     "h1_lag" -> (StreamQueries.h1Lag _),
@@ -243,6 +245,7 @@ object SparkEntry {
     "s1_stream_snapshot" -> StreamQueries.s1StreamSnapshotSql,
     "q1_sql_lookup" -> StreamQueries.q1SqlLookupSql,
     "topk_per_key" -> StreamQueries.topkPerKeySql,
+    "cdc_read" -> StreamQueries.cdcReadSql,
     "topk_per_key_native" -> StreamQueries.topkPerKeySql,
     "g1_stream_fanout" -> StreamQueries.g1StreamFanoutSql,
     "s1_ttl_snapshot" -> StreamQueries.s1StreamSnapshotSql, // same semantics, same oracle

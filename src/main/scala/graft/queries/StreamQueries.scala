@@ -149,6 +149,54 @@ object StreamQueries {
         unix_micros(col("last_ts")).as("last_ts_us"))
   }
 
+  /** Incremental (CDC) read exhibit: two commits — the fold of the first
+    * half of the event log (split at floor(max(event_id)/2)), then the
+    * cumulative fold of every conversation touched by the second half —
+    * and `readChangesSince(0)` returns exactly the second commit's keys
+    * at their CURRENT state, reading only post-v0 files
+    * (store/IcebergLikeTable.readChangesSince). Oracle: the s1 snapshot
+    * SQL restricted to conversations with late events.
+    */
+  def cdcRead(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val turns = eventsAsTurns(s, d)
+    val split = turns.agg(floor(max(col("turn_idx")) / 2).cast("long")).head().getLong(0)
+    val tmp = Files.createTempDirectory("graft-cdc-q").toString
+    val table = new IcebergLikeTable(s"$tmp/table", 8)
+    table.merge(
+      graft.snapshot.SnapshotFold.batchSnapshots(turns.filter(col("turn_idx") <= split)),
+      "conv_id", 0L)
+    val lateKeys = turns.filter(col("turn_idx") > split).select("conv_id").distinct()
+    table.merge(
+      graft.snapshot.SnapshotFold.batchSnapshots(
+        turns.join(broadcast(lateKeys), "conv_id")),
+      "conv_id", 1L)
+    table.readChangesSince(0L).select(
+      col("conv_id"),
+      col("last_turn_idx").cast("long").as("last_turn_idx"),
+      col("last_role"),
+      col("turn_count"),
+      unix_micros(col("first_ts")).as("first_ts_us"),
+      unix_micros(col("last_ts")).as("last_ts_us"))
+  }
+
+  val cdcReadSql: String =
+    """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                         event_id AS turn_idx, event_type AS role, ts
+                  FROM events),
+       sp AS (SELECT CAST(floor(max(turn_idx) / 2) AS BIGINT) AS s FROM t),
+       changed AS (SELECT DISTINCT conv_id FROM t, sp WHERE turn_idx > sp.s),
+       c AS (SELECT t.* FROM t JOIN changed USING (conv_id)),
+       r AS (SELECT conv_id, turn_idx, role, row_number() OVER
+               (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rn FROM c),
+       a AS (SELECT conv_id, count(*) AS turn_count,
+                    min(epoch_us(ts)) AS first_ts_us,
+                    max(epoch_us(ts)) AS last_ts_us
+             FROM c GROUP BY conv_id)
+       SELECT a.conv_id, r.turn_idx AS last_turn_idx, r.role AS last_role,
+              a.turn_count, a.first_ts_us, a.last_ts_us
+       FROM a JOIN r ON a.conv_id = r.conv_id AND r.rn = 1"""
+
   /** Per-conversation latest-k turns via the bounded-buffer Aggregator
     * (functions/TopKPerKey.scala): ObjectHashAggregate with map-side
     * partial combine — ≤ k rows per key per partition cross the one

@@ -234,8 +234,16 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * partial combine, so per-key data crossing the resolution shuffle is
     * O(distinct keys); a window formulation would sort whole partitions.
     */
-  private def resolve(df: DataFrame): DataFrame = {
-    val payload = df.columns.filter(c => c != keyCol && c != "__seq")
+  private def resolve(df: DataFrame): DataFrame =
+    resolveKeepSeq(df).drop("__seq")
+
+  /** [[resolve]] keeping each surviving row's ORIGINAL `__seq` — the
+    * commit that last changed the key. Compaction/rebucket write this
+    * preserved seq back out (never a re-stamp), which is what makes
+    * [[readChangesSince]] exact across file rewrites.
+    */
+  private def resolveKeepSeq(df: DataFrame): DataFrame = {
+    val payload = df.columns.filter(c => c != keyCol && c != "__seq") :+ "__seq"
     df.groupBy(col(keyCol))
       .agg(max_by(struct(payload.map(col): _*), col("__seq")).as("__r"))
       .select(col(keyCol) +: payload.map(c => col(s"__r.$c").as(c)): _*)
@@ -305,6 +313,40 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     else if (delta.isEmpty)
       scanWith(m, files).drop("__seq").where(pred)
     else resolve(scanWith(m, files).where(pred))
+  }
+
+  /** Version (commit batch id) embedded in a data file's directory name
+    * (`data/delta-v<b>/…`, `data/base-v<b>[c]/…`, `data/rebucket-v<b>n<m>/…`):
+    * an upper bound on the `__seq` of any row in the file. Unknown names
+    * return MaxValue — never skipped, so correctness cannot depend on the
+    * parse.
+    */
+  private def fileVersion(f: String): Long =
+    "-v(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong).getOrElse(Long.MaxValue)
+
+  /** Incremental (CDC) read: the CURRENT snapshot of every key whose
+    * state changed in a commit AFTER `sinceBatch` — upsert-style change
+    * feed (the engine has no deletes). This is the scale-friendly form of
+    * znap's dump/republish (reference: service/SnapshotService.scala
+    * replays the FULL key set): a downstream consumer refreshes from
+    * version v with I/O proportional to the files written since v, never
+    * a table scan.
+    *
+    * Why it is exact: a row's `__seq` is the commit that produced it and
+    * is PRESERVED through compaction and rebucket, and every file's
+    * directory version upper-bounds the seqs inside it. So (1) any key
+    * with latest seq > sinceBatch has that row in a candidate file;
+    * (2) no newer row for a candidate key exists outside the candidates
+    * (newer rows live in newer files); (3) old rows carried into a
+    * post-since base by compaction resolve to their true (≤ sinceBatch)
+    * seq and are filtered out.
+    */
+  def readChangesSince(sinceBatch: Long): DataFrame = {
+    val m = readManifest()
+    val cand = m.dataFiles.filter(f => fileVersion(f) > sinceBatch)
+    if (cand.isEmpty) emptyDf(m.tableSchema.getOrElse(emptySchema))
+    else resolveKeepSeq(scanWith(m, cand.map(f => s"$root/$f")))
+      .where(col("__seq") > sinceBatch).drop("__seq")
   }
 
   def lineage(): DataFrame = {
@@ -438,8 +480,9 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       return
     }
     val dir = s"$root/data/rebucket-v${m.lastBatchId}n$newBuckets"
-    resolve(scanWith(m, m.dataFiles.map(f => s"$root/$f")))
-      .withColumn("__seq", lit(m.lastBatchId))
+    // preserved __seq: a rebucket changes layout, not content, and must
+    // not fabricate changes for readChangesSince
+    resolveKeepSeq(scanWith(m, m.dataFiles.map(f => s"$root/$f")))
       .withColumn("__bucket", bucketExpr(keyCol, newBuckets))
       .repartition(math.min(newBuckets,
         math.max(spark.sparkContext.defaultParallelism, 32)), col("__bucket"))
@@ -463,8 +506,10 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       val files = toCompact.toSeq.sorted.flatMap(b =>
         (base.getOrElse(b, Nil) ++ deltas.getOrElse(b, Nil)).map(f => s"$root/$f"))
       val baseDir = s"$root/data/base-$version"
-      resolve(spark.read.schema(plusSeq(tableSchema)).parquet(files: _*))
-        .withColumn("__seq", lit(seq)) // compacted rows re-stamped; deltas are newer by construction
+      // preserved per-row __seq (the commit that last changed the key) —
+      // newer deltas still win resolution by construction, and
+      // readChangesSince stays exact across compactions
+      resolveKeepSeq(spark.read.schema(plusSeq(tableSchema)).parquet(files: _*))
         .withColumn("__bucket", bucketExpr(keyCol, nBuckets))
         .repartition(math.max(toCompact.size, 1), col("__bucket"))
         .sortWithinPartitions(col(keyCol))
