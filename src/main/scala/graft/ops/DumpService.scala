@@ -38,6 +38,31 @@ object DumpService {
     }
   }
 
+  /** Incremental dump (same lifecycle/cancellation contract as
+    * [[runDump]]): publishes only keys changed after `sinceBatch`,
+    * validated against the committed lineage window (Replay S4).
+    */
+  def runIncrementalDump(manager: DumpManager, target: String,
+      table: IcebergLikeTable, sinceBatch: Long,
+      publish: Iterator[String] => Unit, forceRestart: Boolean = false)(
+      implicit spark: SparkSession): String = {
+    val uid = manager.start(target, forceRestart)
+    try {
+      spark.sparkContext.setJobGroup(uid, s"incremental dump $target since $sinceBatch",
+        interruptOnCancel = true)
+      Replay.incrementalDump(table, sinceBatch)
+        .as(Encoders.STRING).foreachPartition(publish)
+      manager.finish(uid)
+      uid
+    } catch {
+      case e: Throwable =>
+        if (manager.status(uid) == DumpStatus.Running) manager.fail(uid)
+        throw e
+    } finally {
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+
   /** Abort a running dump: cancel its Spark jobs and flip the state. */
   def abort(manager: DumpManager, uid: String)(implicit spark: SparkSession): Unit = {
     manager.abort(uid)

@@ -114,4 +114,16 @@ object Replay {
     */
   def dump(table: IcebergLikeTable): DataFrame =
     table.read().select(col("conv_id"))
+
+  /** Incremental dump: keys whose snapshot changed after committed batch
+    * `sinceBatch` — the scale-friendly form of [[dump]] (a 10^12-turn
+    * table republishes a micro-batch's worth of keys, not the world).
+    * The replay point is validated against the committed lineage window
+    * exactly like a replay-from-offset (S4): an unknown since-batch must
+    * fail fast, not silently dump everything or nothing.
+    */
+  def incrementalDump(table: IcebergLikeTable, sinceBatch: Long): DataFrame = {
+    validateReplayBatch(table, sinceBatch)
+    table.readChangesSince(sinceBatch).select(col("conv_id"))
+  }
 }

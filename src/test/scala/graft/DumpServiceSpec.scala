@@ -38,4 +38,28 @@ class DumpServiceSpec extends SparkSpec {
     val uid2 = DumpService.runDump(manager, "snapshots", table, _ => ())
     assert(uid2 !== uid)
   }
+
+  test("incremental dump publishes only changed keys; invalid since-batch fails fast") {
+    def lineageRow(b: Long) = Seq(graft.model.LineageRecord(b, 0, "a", 0, "z", 9,
+      1L, new java.sql.Timestamp(1700000000000L + b))).toDF()
+    val table = new IcebergLikeTable(tmpDir("incdump") + "/t", 4)
+    table.merge(Seq(("a", 1), ("b", 1), ("c", 1)).toDF("conv_id", "n"),
+      "conv_id", 0L, lineageDf = Some(lineageRow(0L)))
+    table.merge(Seq(("b", 2), ("d", 1)).toDF("conv_id", "n"),
+      "conv_id", 1L, lineageDf = Some(lineageRow(1L)))
+
+    val acc = spark.sparkContext.collectionAccumulator[String]("inc-dumped")
+    val manager = new DumpManager
+    val uid = DumpService.runIncrementalDump(manager, "snapshots", table, 0L,
+      it => it.foreach(acc.add))
+    assert(manager.status(uid) === DumpStatus.FinishedSuccessfully)
+    assert(acc.value.asScala.toSet === Set("b", "d"))
+
+    // a since-batch outside the committed lineage window fails fast (S4)
+    // and flips the dump to Failed — never a silent wrong-sized dump
+    val ex = intercept[graft.replay.InvalidOffsetException] {
+      DumpService.runIncrementalDump(manager, "snapshots", table, 7L, _ => ())
+    }
+    assert(ex.getMessage.contains("outside committed window"))
+  }
 }
