@@ -55,6 +55,30 @@ class IncrementalReadSpec extends SparkSpec {
     assert(changes(t, -1L) == Map("a" -> 1, "b" -> 2))
   }
 
+  test("a downstream replica stays exact syncing from the change feed alone") {
+    // the consumer pattern readChangesSince exists for: a derived table
+    // refreshed per sync with I/O = changes since its last sync, never a
+    // source scan — including syncs that coalesce several source commits
+    val src = mk()
+    val dst = mk()
+    var synced = -1L
+    def sync(): Unit = {
+      val v = src.readManifest().lastBatchId
+      if (v > synced) {
+        dst.merge(src.readChangesSince(synced), "conv_id", v)
+        synced = v
+      }
+    }
+    src.merge(snap("a" -> 1, "b" -> 1), "conv_id", 0L); sync()
+    src.merge(snap("b" -> 2, "c" -> 1), "conv_id", 1L)
+    src.merge(snap("a" -> 3), "conv_id", 2L); sync() // coalesced 1+2
+    src.merge(snap("d" -> 1), "conv_id", 3L); sync()
+    assert(dst.read().as[(String, Int)].collect().toMap ==
+      src.read().as[(String, Int)].collect().toMap)
+    assert(dst.read().as[(String, Int)].collect().toMap ==
+      Map("a" -> 3, "b" -> 2, "c" -> 1, "d" -> 1))
+  }
+
   test("reads only files written after the since version (file skipping)") {
     val t = mk()
     t.merge(snap((0 until 30).map(i => s"k$i" -> 1): _*), "conv_id", 0L)
