@@ -50,6 +50,9 @@ object SparkEntry {
     "topk_per_key" -> (StreamQueries.topkPerKey _),
     // incremental/CDC read: changed keys at current state, post-v files only
     "cdc_read" -> (StreamQueries.cdcRead _),
+    // training-sample construction over transcripts
+    "assemble_convs" -> (TranscriptQueries.assembleConvs _),
+    "pair_extract" -> (TranscriptQueries.pairExtract _),
     "topk_per_key_native" -> (StreamQueries.topkPerKeyNative _),
     "o1_lineage" -> (StreamQueries.o1Lineage _),
     "h1_lag" -> (StreamQueries.h1Lag _),
@@ -246,6 +249,8 @@ object SparkEntry {
     "q1_sql_lookup" -> StreamQueries.q1SqlLookupSql,
     "topk_per_key" -> StreamQueries.topkPerKeySql,
     "cdc_read" -> StreamQueries.cdcReadSql,
+    "assemble_convs" -> TranscriptQueries.assembleConvsSql,
+    "pair_extract" -> TranscriptQueries.pairExtractSql,
     "topk_per_key_native" -> StreamQueries.topkPerKeySql,
     "g1_stream_fanout" -> StreamQueries.g1StreamFanoutSql,
     "s1_ttl_snapshot" -> StreamQueries.s1StreamSnapshotSql, // same semantics, same oracle

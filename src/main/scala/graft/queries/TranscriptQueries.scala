@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Transcript → training-sample construction (task brief §2.3: the ops a
+  * large-scale training-data pipeline needs on top of the reference's
+  * surface). Both run on the events-as-turns mapping used by the s1
+  * pipeline, so their oracles share its fixture semantics.
+  */
+object TranscriptQueries {
+
+  /** Assemble each conversation into ONE ordered training document:
+    * collect_list(struct(turn_idx, text)) → array_sort → join. Single
+    * conv_id-keyed shuffle with map-side partial collect; per-group state
+    * is bounded by conversation length (the hot-conversation bound is the
+    * documented cost of sample assembly — a 20k-turn transcript IS a
+    * 20k-element array wherever it is assembled). array_sort on the
+    * struct orders by turn_idx (first field), so assembly order is total
+    * and deterministic.
+    */
+  def assembleConvs(s: SparkSession, d: String): DataFrame =
+    StreamQueries.eventsAsTurns(s, d)
+      .groupBy(col("conv_id"))
+      .agg(
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("turn_idx"), col("text")))),
+            x => x.getField("text"))).as("doc"),
+        count(lit(1)).as("n_turns"))
+      .select(col("conv_id"), col("doc"), col("n_turns"),
+        length(col("doc")).cast("long").as("n_chars"))
+
+  val assembleConvsSql: String =
+    """SELECT CAST(user_id AS VARCHAR) AS conv_id,
+       string_agg(props, chr(10) ORDER BY event_id) AS doc,
+       count(*) AS n_turns,
+       length(string_agg(props, chr(10) ORDER BY event_id)) AS n_chars
+       FROM events GROUP BY user_id"""
+
+  /** Adjacent-turn pair extraction (prompt/response mining): every turn
+    * paired with its predecessor in the same conversation where the role
+    * CHANGES — the (context, reply) unit a dialogue-training pipeline
+    * samples. One keyed window (single shuffle + per-conv sort), no
+    * self-join.
+    */
+  def pairExtract(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    StreamQueries.eventsAsTurns(s, d)
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("prev_text", lag(col("text"), 1).over(w))
+      .where(col("prev_role").isNotNull && col("prev_role") =!= col("role"))
+      .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        col("prev_role"), col("role"), col("prev_text"), col("text"))
+  }
+
+  val pairExtractSql: String =
+    """SELECT conv_id, turn_idx, prev_role, role, prev_text, text FROM (
+         SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id AS turn_idx,
+                event_type AS role, props AS text,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_role,
+                lag(props) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_text
+         FROM events)
+       WHERE prev_role IS NOT NULL AND prev_role <> role"""
+}
