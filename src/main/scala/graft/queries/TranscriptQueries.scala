@@ -38,6 +38,32 @@ object TranscriptQueries {
        length(string_agg(props, chr(10) ORDER BY event_id)) AS n_chars
        FROM events GROUP BY user_id"""
 
+  /** Skew path for assembly: a hot conversation (20k+ turns) makes the
+    * single-phase collect_list one reducer's problem. Two-phase salted
+    * form: phase 1 collects per (conv_id, salt) — a hot conversation's
+    * turns spread over `salts` reducers with 1/salts of the state each —
+    * phase 2 merges the ≤`salts` partial arrays per conversation and
+    * sorts once. The FINAL document is still one object (inherent to the
+    * op); what salting bounds is per-reducer collect state and shuffle
+    * skew, mirroring skew/Salting's aggregation argument. Output is
+    * byte-identical to [[assembleConvs]] (array_sort over the flattened
+    * parts restores total turn order) — TranscriptSpec proves it on a
+    * hot-conversation corpus.
+    */
+  def assembleConvsSalted(turns: DataFrame, salts: Int): DataFrame =
+    turns
+      .withColumn("__salt", pmod(hash(col("turn_idx")), lit(salts)))
+      .groupBy(col("conv_id"), col("__salt"))
+      .agg(collect_list(struct(col("turn_idx"), col("text"))).as("part"))
+      .groupBy(col("conv_id"))
+      .agg(
+        concat_ws("\n",
+          transform(array_sort(flatten(collect_list(col("part")))),
+            x => x.getField("text"))).as("doc"),
+        sum(size(col("part"))).as("n_turns"))
+      .select(col("conv_id"), col("doc"), col("n_turns"),
+        length(col("doc")).cast("long").as("n_chars"))
+
   /** Adjacent-turn pair extraction (prompt/response mining): every turn
     * paired with its predecessor in the same conversation where the role
     * CHANGES — the (context, reply) unit a dialogue-training pipeline
