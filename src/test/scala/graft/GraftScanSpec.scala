@@ -100,6 +100,20 @@ class GraftScanSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("joins through the SQL view rebind attributes correctly") {
+    GraftScan.install(spark)
+    val t = mkTable()
+    GraftScan.relation(spark, t).createOrReplaceTempView("graft_snap_j")
+    Seq(("c7", "x"), ("c60", "y"), ("nope", "z"))
+      .toDF("conv_id", "tag").createOrReplaceTempView("dim_j")
+    val got = spark.sql(
+      """SELECT s.conv_id, s.turn_count, d.tag
+         FROM graft_snap_j s JOIN dim_j d USING (conv_id) ORDER BY s.conv_id""")
+      .as[(String, Int, String)].collect().toSeq
+    assert(got == Seq(("c60", 5), ("c7", 99)).map { case (c, n) =>
+      (c, n, if (c == "c7") "x" else "y") })
+  }
+
   test("pruned and full plans agree for every key (superset guarantee)") {
     GraftScan.install(spark)
     val t = mkTable()
