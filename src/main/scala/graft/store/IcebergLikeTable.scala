@@ -69,11 +69,17 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * process constructed with a stale `numBuckets` still prunes
     * correctly.
     */
+  /** `droppedColumns` are names removed by [[dropColumn]]: columns are
+    * matched BY NAME (no Iceberg field ids), so re-adding a dropped name
+    * would silently resurrect old file values — the tombstone list makes
+    * that a loud rejection instead.
+    */
   final case class Manifest(lastBatchId: Long, buckets: Map[Int, Seq[String]],
       deltas: Map[Int, Seq[String]], lineageFiles: Seq[String],
       signalFiles: Seq[String], removed: Seq[String] = Nil,
       tableSchema: Option[StructType] = None,
-      bucketCount: Option[Int] = None) {
+      bucketCount: Option[Int] = None,
+      droppedColumns: Seq[String] = Nil) {
     def dataFiles: Seq[String] =
       (buckets.values.flatten ++ deltas.values.flatten).toSeq
   }
@@ -104,6 +110,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     var lineage: Seq[String] = Nil
     var signals: Seq[String] = Nil
     var removed: Seq[String] = Nil
+    var dropped: Seq[String] = Nil
     var schemaOpt: Option[StructType] = None
     var bucketsOpt: Option[Int] = None
     lines.foreach {
@@ -119,6 +126,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
         signals = l.substring(8).split(",").filter(_.nonEmpty).toSeq
       case l if l.startsWith("removed=") =>
         removed = l.substring(8).split(",").filter(_.nonEmpty).toSeq
+      case l if l.startsWith("droppedCols=") =>
+        dropped = l.substring(12).split(",").filter(_.nonEmpty).toSeq
       case l if l.startsWith("bucket:") =>
         val Array(k, v) = l.substring(7).split("=", 2)
         buckets(k.toInt) = v.split(",").filter(_.nonEmpty).toSeq
@@ -129,7 +138,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     }
     Manifest(last, ListMap(buckets.toSeq.sortBy(_._1): _*),
       ListMap(deltas.toSeq.sortBy(_._1): _*), lineage, signals, removed,
-      schemaOpt, bucketsOpt)
+      schemaOpt, bucketsOpt, dropped)
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -140,6 +149,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     sb.append(s"lineage=${m.lineageFiles.mkString(",")}\n")
     sb.append(s"signals=${m.signalFiles.mkString(",")}\n")
     sb.append(s"removed=${m.removed.mkString(",")}\n")
+    if (m.droppedColumns.nonEmpty)
+      sb.append(s"droppedCols=${m.droppedColumns.mkString(",")}\n")
     m.buckets.toSeq.sortBy(_._1).foreach { case (b, fs) =>
       sb.append(s"bucket:$b=${fs.mkString(",")}\n")
     }
@@ -153,7 +164,13 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * local FS; on object stores this is the metadata-swap an Iceberg
     * catalog performs).
     */
-  private def commitManifest(m: Manifest): Unit = {
+  /** `writeVersioned = false` is for metadata-only commits at the SAME
+    * lastBatchId that must not rewrite that version's history entry —
+    * [[dropColumn]]: overwriting manifest-v<id> with the post-drop schema
+    * would destroy pre-drop time travel. (Compaction/rebucket overwrite
+    * legitimately: same logical content, new layout.)
+    */
+  private def commitManifest(m: Manifest, writeVersioned: Boolean = true): Unit = {
     // Atomic main swap FIRST — it alone gates visibility. The versioned
     // copy (time travel / snapshot history, the Iceberg snapshot-log
     // analog) follows, also via temp + ATOMIC_MOVE: a crash between the
@@ -164,10 +181,12 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     Files.writeString(tmp, renderManifest(m))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    val vTmp = Paths.get(root, s"manifest.vtmp.${m.lastBatchId}")
-    Files.writeString(vTmp, renderManifest(m))
-    Files.move(vTmp, Paths.get(root, s"manifest-v${m.lastBatchId}.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    if (writeVersioned) {
+      val vTmp = Paths.get(root, s"manifest.vtmp.${m.lastBatchId}")
+      Files.writeString(vTmp, renderManifest(m))
+      Files.move(vTmp, Paths.get(root, s"manifest-v${m.lastBatchId}.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Committed batch ids with a retained versioned manifest, ascending.
@@ -400,6 +419,11 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     require(incoming.exists(_.name == keyCol),
       s"merge batch lacks key column '$keyCol'")
     incoming.foreach { f =>
+      require(!m.droppedColumns.contains(f.name),
+        s"schema evolution: column '${f.name}' was dropped; re-adding the " +
+          "name would resurrect old file values (no field ids) — use a new name")
+    }
+    incoming.foreach { f =>
       current.find(_.name == f.name).foreach { cf =>
         // simpleString comparison: nullability-insensitive (a batch of
         // all-non-null values must not read as a type change)
@@ -457,9 +481,32 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     }
 
     commitAndGc(m, Manifest(batchId, buckets2, deltas2, lineageFiles,
-      signalFiles, tableSchema = Some(evolved), bucketCount = Some(nb)),
+      signalFiles, tableSchema = Some(evolved), bucketCount = Some(nb),
+      droppedColumns = m.droppedColumns),
       writtenThisCommit = newDeltaFiles.values.flatten.toSet)
     true
+  }
+
+  /** Iceberg-style column drop: METADATA-ONLY — the committed schema
+    * loses the field, so every read (current, lookup, changes) stops
+    * projecting it instantly with no file rewrite; old files keep the
+    * bytes and time travel to pre-drop versions restores the column with
+    * its values (schema-in-manifest). The name enters the
+    * `droppedColumns` tombstone list: re-adding it is rejected by merge
+    * (name-based matching would resurrect old values; Iceberg solves
+    * this with field ids — out of scope, so the failure is loud, not
+    * silent). Compactions after the drop rewrite without the column,
+    * so the bytes age out with retention.
+    */
+  def dropColumn(name: String): Unit = {
+    val m = readManifest()
+    require(name != keyCol, s"cannot drop the key column '$keyCol'")
+    val cur = m.tableSchema.getOrElse(emptySchema)
+    require(cur.exists(_.name == name), s"no such column '$name'")
+    commitAndGc(m, m.copy(
+      tableSchema = Some(StructType(cur.filterNot(_.name == name))),
+      droppedColumns = (m.droppedColumns :+ name).distinct),
+      writeVersioned = false) // same lastBatchId: must not rewrite that version's history
   }
 
   /** Bucket-count evolution (Iceberg partition-spec evolution, bucket
@@ -552,13 +599,14 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * invisible to the tombstone log and leak.
     */
   private def commitAndGc(prev: Manifest, next0: Manifest,
-      writtenThisCommit: Set[String] = Set.empty): Unit = {
+      writtenThisCommit: Set[String] = Set.empty,
+      writeVersioned: Boolean = true): Unit = {
     val newLive = next0.dataFiles.toSet
     val tombstones =
       (prev.removed ++
         ((prev.dataFiles.toSet ++ writtenThisCommit) -- newLive)).distinct
     if (!autoVacuum) {
-      commitManifest(next0.copy(removed = tombstones))
+      commitManifest(next0.copy(removed = tombstones), writeVersioned)
       return
     }
     val versions = (manifestVersions() :+ next0.lastBatchId).distinct.sorted
@@ -571,7 +619,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       }
     val deletable = tombstones
       .filterNot(f => newLive.contains(f) || retainedLives.contains(f))
-    commitManifest(next0.copy(removed = tombstones.diff(deletable)))
+    commitManifest(next0.copy(removed = tombstones.diff(deletable)), writeVersioned)
     versions.filterNot(keep)
       .foreach(v => Files.deleteIfExists(Paths.get(root, s"manifest-v$v.json")))
     deletable.foreach(f => Files.deleteIfExists(Paths.get(root, f)))

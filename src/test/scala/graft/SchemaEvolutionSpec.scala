@@ -66,6 +66,37 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("column drop: metadata-only, time travel restores, re-add rejected") {
+    val t = new IcebergLikeTable(tmpDir("evodrop") + "/t", numBuckets = 4,
+      emptySchema = baseSchema)
+    assert(t.merge(Seq(("a", 1L, 0.9), ("b", 1L, 0.5))
+      .toDF("conv_id", "v", "quality"), "conv_id", 0L))
+    val preDrop = t.readManifest().lastBatchId
+
+    t.dropColumn("quality")
+    assert(t.schema().fieldNames.toSeq === Seq("conv_id", "v"))
+    assert(!t.read().columns.contains("quality"))
+    assert(!t.lookup("conv_id", "a").columns.contains("quality"))
+
+    // time travel to the pre-drop version restores column AND values
+    val old = t.readAsOf(preDrop)
+    assert(old.columns.contains("quality"))
+    assert(old.where($"conv_id" === "a").select($"quality")
+      .as[Double].head() === 0.9)
+
+    // later merges work without the column; re-adding the name is loud
+    assert(t.merge(Seq(("c", 3L)).toDF("conv_id", "v"), "conv_id", 1L))
+    assert(t.read().count() === 3)
+    val ex = intercept[IllegalArgumentException] {
+      t.merge(Seq(("d", 4L, 0.1)).toDF("conv_id", "v", "quality"),
+        "conv_id", 2L)
+    }
+    assert(ex.getMessage.contains("was dropped"))
+    // key column is not droppable
+    assert(intercept[IllegalArgumentException](t.dropColumn("conv_id"))
+      .getMessage.contains("key column"))
+  }
+
   test("type change is rejected loudly") {
     val t = new IcebergLikeTable(tmpDir("evo-rej") + "/t", numBuckets = 2,
       emptySchema = baseSchema)
