@@ -53,6 +53,7 @@ object SparkEntry {
     // training-sample construction over transcripts
     "assemble_convs" -> (TranscriptQueries.assembleConvs _),
     "pair_extract" -> (TranscriptQueries.pairExtract _),
+    "sessionize" -> (TranscriptQueries.sessionize _),
     "topk_per_key_native" -> (StreamQueries.topkPerKeyNative _),
     "o1_lineage" -> (StreamQueries.o1Lineage _),
     "h1_lag" -> (StreamQueries.h1Lag _),
@@ -251,6 +252,7 @@ object SparkEntry {
     "cdc_read" -> StreamQueries.cdcReadSql,
     "assemble_convs" -> TranscriptQueries.assembleConvsSql,
     "pair_extract" -> TranscriptQueries.pairExtractSql,
+    "sessionize" -> TranscriptQueries.sessionizeSql,
     "topk_per_key_native" -> StreamQueries.topkPerKeySql,
     "g1_stream_fanout" -> StreamQueries.g1StreamFanoutSql,
     "s1_ttl_snapshot" -> StreamQueries.s1StreamSnapshotSql, // same semantics, same oracle

@@ -64,6 +64,40 @@ object TranscriptQueries {
       .select(col("conv_id"), col("doc"), col("n_turns"),
         length(col("doc")).cast("long").as("n_chars"))
 
+  /** Per-turn sessionization (gaps-and-islands): label every turn with
+    * its conversation-local session ordinal — a new session starts after
+    * a ≥30-minute silence. This is the SEGMENTATION form of the session
+    * window (w3 aggregates per session; training pipelines need the
+    * per-turn label to split transcripts into samples). One keyed window
+    * partition pass computes both the lag-gap flag and its running sum —
+    * single shuffle, per-conv sort, no self-join.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    StreamQueries.eventsAsTurns(s, d)
+      .withColumn("new_session",
+        when(col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")
+          >= 1800L || lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        col("session_id"))
+  }
+
+  val sessionizeSql: String =
+    """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                         event_id AS turn_idx, ts FROM events),
+       flagged AS (
+         SELECT conv_id, turn_idx, ts,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+         FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))
+       SELECT conv_id, turn_idx,
+         CAST(sum(new_session) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       FROM flagged"""
+
   /** Adjacent-turn pair extraction (prompt/response mining): every turn
     * paired with its predecessor in the same conversation where the role
     * CHANGES — the (context, reply) unit a dialogue-training pipeline

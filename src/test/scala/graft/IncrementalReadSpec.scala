@@ -79,6 +79,24 @@ class IncrementalReadSpec extends SparkSpec {
       Map("a" -> 3, "b" -> 2, "c" -> 1, "d" -> 1))
   }
 
+  test("snapshot isolation: a pre-commit reader still collects after commit+GC (retention window)") {
+    // read() pins the manifest's file list at plan time; retainManifests
+    // (default 2) keeps the previous version's files through the next
+    // commit's GC, so a reader one version behind never hits a deleted
+    // file — the Iceberg snapshot-isolation contract our GC must honor.
+    val t = mk(maxDeltas = 1) // the next merge compacts + GCs aggressively
+    t.merge(snap((0 until 20).map(i => s"k$i" -> 1): _*), "conv_id", 0L)
+    val pinned = t.read() // manifest resolved NOW: v0's file list, lazy scan
+    t.merge(snap("k1" -> 99), "conv_id", 1L) // compaction rewrites, GC runs
+    // the pinned reader must still collect v0's content — its files are
+    // protected because the retained v0 manifest references them
+    assert(pinned.as[(String, Int)].collect().toMap ==
+      (0 until 20).map(i => s"k$i" -> 1).toMap)
+    // and a fresh read sees v1
+    assert(t.read().as[(String, Int)].collect().toMap ==
+      ((0 until 20).map(i => s"k$i" -> 1).toMap + ("k1" -> 99)))
+  }
+
   test("reads only files written after the since version (file skipping)") {
     val t = mk()
     t.merge(snap((0 until 30).map(i => s"k$i" -> 1): _*), "conv_id", 0L)
