@@ -39,7 +39,8 @@ import graft.model.Schemas
 final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val keyCol: String = "conv_id", val maxDeltasPerBucket: Int = 8,
     val autoVacuum: Boolean = true, val emptySchema: StructType = Schemas.snapshot,
-    val retainManifests: Int = 2, val inlineCompaction: Boolean = true)(
+    val retainManifests: Int = 2, val inlineCompaction: Boolean = true,
+    val maxDeltaBytesPerBucket: Long = Long.MaxValue)(
     implicit spark: SparkSession) {
 
   private val manifestPath: Path = Paths.get(root, "manifest.json")
@@ -540,14 +541,26 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       deltas = Map.empty, bucketCount = Some(newBuckets)))
   }
 
-  /** Rewrite buckets whose delta chain reached maxDeltasPerBucket:
+  /** Compaction trigger: file COUNT (read-amplification bound — a point
+    * read opens base + all deltas) OR total delta BYTES (write/merge
+    * amplification bound — at scale a few huge deltas cost more to
+    * resolve than many empty ones; count alone misses that). Byte sizes
+    * come from the filesystem driver-side, O(delta files of the bucket)
+    * per check — bounded by the count threshold itself.
+    */
+  private def needsCompaction(deltaFiles: Seq[String]): Boolean =
+    deltaFiles.size >= maxDeltasPerBucket ||
+      (maxDeltaBytesPerBucket != Long.MaxValue && deltaFiles.nonEmpty &&
+        deltaFiles.map(f => Files.size(Paths.get(root, f))).sum >= maxDeltaBytesPerBucket)
+
+  /** Rewrite buckets whose delta chain reached the compaction trigger:
     * base ∪ deltas resolved → new base for those buckets only.
     */
   private def compactBuckets(base: Map[Int, Seq[String]],
       deltas: Map[Int, Seq[String]], version: String,
       seq: Long, tableSchema: StructType,
       nBuckets: Int): (Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
-    val toCompact = deltas.filter(_._2.size >= maxDeltasPerBucket).keySet
+    val toCompact = deltas.filter(kv => needsCompaction(kv._2)).keySet
     if (toCompact.isEmpty) (base, deltas)
     else {
       val files = toCompact.toSeq.sorted.flatMap(b =>
@@ -577,7 +590,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     */
   def compact(): Boolean = {
     val m = readManifest()
-    if (!m.deltas.exists(_._2.size >= maxDeltasPerBucket)) return false
+    if (!m.deltas.exists(kv => needsCompaction(kv._2))) return false
     val (b2, d2) =
       compactBuckets(m.buckets, m.deltas, s"v${m.lastBatchId}c",
         m.lastBatchId, m.tableSchema.getOrElse(emptySchema), bucketsOf(m))

@@ -114,6 +114,26 @@ class GraftScanSpec extends SparkSpec {
       (c, n, if (c == "c7") "x" else "y") })
   }
 
+  test("aggregate-above-point-filter and projection shapes still prune") {
+    GraftScan.install(spark)
+    val t = mkTable()
+    GraftScan.relation(spark, t).createOrReplaceTempView("graft_snap_s")
+    val full = scannedFiles(GraftScan.relation(spark, t)).size
+
+    // projection above the filter: Catalyst pushes the filter to the leaf
+    // before our rule runs, so pruning still applies
+    val proj = spark.sql(
+      "SELECT turn_count FROM graft_snap_s WHERE conv_id = 'c3'")
+    assert(scannedFiles(proj).size < full)
+    assert(proj.as[Int].collect().toSeq == Seq(99))
+
+    // aggregate above the point filter: pruned scan feeds the agg
+    val agg = spark.sql(
+      "SELECT count(*) AS n, sum(turn_count) AS s FROM graft_snap_s WHERE conv_id = 'c3'")
+    assert(scannedFiles(agg).size < full)
+    assert(agg.as[(Long, Long)].head() == ((1L, 99L)))
+  }
+
   test("pruned and full plans agree for every key (superset guarantee)") {
     GraftScan.install(spark)
     val t = mkTable()

@@ -44,6 +44,23 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(got.forall(_.turn_count === 10L))
   }
 
+  test("bytes-based compaction trigger: chains bounded by size, not just count") {
+    val t = new IcebergLikeTable(tmpDir("bytescompact") + "/t", numBuckets = 2,
+      maxDeltasPerBucket = 100, // count alone would never trigger
+      maxDeltaBytesPerBucket = 1L, // any delta bytes trigger
+      emptySchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "conv_id string, n int"))
+    (0 until 3).foreach { b =>
+      t.merge(Seq((s"k$b", b), ("shared", b)).toDF("conv_id", "n"),
+        "conv_id", b.toLong)
+    }
+    val (bases, deltas) = t.fileStats()
+    assert(deltas == 0, s"bytes trigger must compact every chain (deltas=$deltas)")
+    assert(bases > 0)
+    assert(t.read().as[(String, Int)].collect().toMap ==
+      Map("k0" -> 0, "k1" -> 1, "k2" -> 2, "shared" -> 2))
+  }
+
   test("vacuum deletes superseded files: disk matches the live manifest") {
     val table = new IcebergLikeTable(tmpDir("vac") + "/t", numBuckets = 4,
       maxDeltasPerBucket = 2, retainManifests = 1)
