@@ -50,6 +50,8 @@ object SparkEntry {
     "topk_per_key" -> (StreamQueries.topkPerKey _),
     // incremental/CDC read: changed keys at current state, post-v files only
     "cdc_read" -> (StreamQueries.cdcRead _),
+    // replica built ONLY from the change feed == full snapshot (s1 oracle)
+    "cdc_follow" -> (StreamQueries.cdcFollow _),
     // training-sample construction over transcripts
     "assemble_convs" -> (TranscriptQueries.assembleConvs _),
     "pair_extract" -> (TranscriptQueries.pairExtract _),
@@ -250,6 +252,7 @@ object SparkEntry {
     "q1_sql_lookup" -> StreamQueries.q1SqlLookupSql,
     "topk_per_key" -> StreamQueries.topkPerKeySql,
     "cdc_read" -> StreamQueries.cdcReadSql,
+    "cdc_follow" -> StreamQueries.s1StreamSnapshotSql,
     "assemble_convs" -> TranscriptQueries.assembleConvsSql,
     "pair_extract" -> TranscriptQueries.pairExtractSql,
     "sessionize" -> TranscriptQueries.sessionizeSql,

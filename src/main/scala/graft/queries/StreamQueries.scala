@@ -197,6 +197,38 @@ object StreamQueries {
               a.turn_count, a.first_ts_us, a.last_ts_us
        FROM a JOIN r ON a.conv_id = r.conv_id AND r.rn = 1"""
 
+  /** End-to-end ChangeFeed exhibit: a REPLICA table synced purely from
+    * the change feed of the cdc_read source table (two commits, coalesced
+    * by the checkpointed follower) must equal the full snapshot — so its
+    * read-back shares the s1 oracle. Machine-checked proof the follower
+    * runtime (replay/ChangeFeed: data-before-offset, keyed-merge
+    * idempotency) reconstructs exact state from changes alone.
+    */
+  def cdcFollow(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val turns = eventsAsTurns(s, d)
+    val split = turns.agg(floor(max(col("turn_idx")) / 2).cast("long")).head().getLong(0)
+    val tmp = Files.createTempDirectory("graft-cdcf-q").toString
+    val src = new IcebergLikeTable(s"$tmp/src", 8)
+    src.merge(
+      graft.snapshot.SnapshotFold.batchSnapshots(turns.filter(col("turn_idx") <= split)),
+      "conv_id", 0L)
+    val lateKeys = turns.filter(col("turn_idx") > split).select("conv_id").distinct()
+    src.merge(
+      graft.snapshot.SnapshotFold.batchSnapshots(
+        turns.join(broadcast(lateKeys), "conv_id")),
+      "conv_id", 1L)
+    val dst = new IcebergLikeTable(s"$tmp/dst", 8)
+    graft.replay.ChangeFeed.syncTo(src, dst, s"$tmp/ckpt/pos")
+    dst.read().select(
+      col("conv_id"),
+      col("last_turn_idx").cast("long").as("last_turn_idx"),
+      col("last_role"),
+      col("turn_count"),
+      unix_micros(col("first_ts")).as("first_ts_us"),
+      unix_micros(col("last_ts")).as("last_ts_us"))
+  }
+
   /** Per-conversation latest-k turns via the bounded-buffer Aggregator
     * (functions/TopKPerKey.scala): ObjectHashAggregate with map-side
     * partial combine — ≤ k rows per key per partition cross the one

@@ -369,6 +369,26 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       .where(col("__seq") > sinceBatch).drop("__seq")
   }
 
+  /** Historical range CDC: keys changed in (sinceBatch, toBatch] at their
+    * state AS OF toBatch — computed from the RETAINED toBatch manifest
+    * (fails like [[readAsOf]] once retention expires it). The toBatch
+    * manifest's files contain only seqs ≤ toBatch by construction, so the
+    * single `__seq > sinceBatch` filter bounds the range exactly.
+    */
+  def readChangesBetween(sinceBatch: Long, toBatch: Long): DataFrame = {
+    require(sinceBatch <= toBatch, s"empty range ($sinceBatch, $toBatch]")
+    val vPath = Paths.get(root, s"manifest-v$toBatch.json")
+    if (!Files.exists(vPath) || toBatch > readManifest().lastBatchId)
+      throw new IllegalArgumentException(
+        s"no committed retained manifest for batch $toBatch " +
+          s"(retained: ${manifestVersions().mkString(",")})")
+    val m = parseManifest(Files.readString(vPath))
+    val cand = m.dataFiles.filter(f => fileVersion(f) > sinceBatch)
+    if (cand.isEmpty) emptyDf(m.tableSchema.getOrElse(emptySchema))
+    else resolveKeepSeq(scanWith(m, cand.map(f => s"$root/$f")))
+      .where(col("__seq") > sinceBatch).drop("__seq")
+  }
+
   def lineage(): DataFrame = {
     val m = readManifest()
     val files = m.lineageFiles.map(f => s"$root/$f")

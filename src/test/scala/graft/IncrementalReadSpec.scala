@@ -55,6 +55,22 @@ class IncrementalReadSpec extends SparkSpec {
     assert(changes(t, -1L) == Map("a" -> 1, "b" -> 2))
   }
 
+  test("readChangesBetween: historical range at as-of state; expired range fails") {
+    val t = mk()
+    t.merge(snap("a" -> 1, "b" -> 1), "conv_id", 0L)
+    t.merge(snap("b" -> 2, "c" -> 1), "conv_id", 1L)
+    t.merge(snap("b" -> 3), "conv_id", 2L)
+    def between(lo: Long, hi: Long) =
+      t.readChangesBetween(lo, hi).as[(String, Int)].collect().toMap
+    // range (0, 1]: b at its AS-OF-v1 state (2, not the current 3), plus c
+    assert(between(0L, 1L) == Map("b" -> 2, "c" -> 1))
+    assert(between(1L, 2L) == Map("b" -> 3))
+    assert(between(-1L, 2L) == Map("a" -> 1, "b" -> 3, "c" -> 1))
+    // retention (2 manifests): v0 expired → range ending there fails loudly
+    assert(intercept[IllegalArgumentException](between(-1L, 0L))
+      .getMessage.contains("retained"))
+  }
+
   test("a downstream replica stays exact syncing from the change feed alone") {
     // the consumer pattern readChangesSince exists for: a derived table
     // refreshed per sync with I/O = changes since its last sync, never a
