@@ -157,20 +157,36 @@ object StreamQueries {
     * (store/IcebergLikeTable.readChangesSince). Oracle: the s1 snapshot
     * SQL restricted to conversations with late events.
     */
+  private val cdcCache = mutable.Map[(SparkSession, String), (IcebergLikeTable, String)]()
+
+  /** Builds (once per session+dir) the two-commit CDC source table: batch
+    * 0 = fold of the first half of the event log (split at
+    * floor(max(turn_idx)/2)), batch 1 = cumulative fold of every
+    * conversation the second half touches. Shared by cdc_read and
+    * cdc_follow.
+    */
+  private def cdcSource(s: SparkSession, d: String): (IcebergLikeTable, String) =
+    cdcCache.synchronized {
+      cdcCache.getOrElseUpdate((s, d), {
+        implicit val sp: SparkSession = s
+        val turns = eventsAsTurns(s, d)
+        val split = turns.agg(floor(max(col("turn_idx")) / 2).cast("long")).head().getLong(0)
+        val tmp = Files.createTempDirectory("graft-cdc-q").toString
+        val table = new IcebergLikeTable(s"$tmp/table", 8)
+        table.merge(
+          graft.snapshot.SnapshotFold.batchSnapshots(turns.filter(col("turn_idx") <= split)),
+          "conv_id", 0L)
+        val lateKeys = turns.filter(col("turn_idx") > split).select("conv_id").distinct()
+        table.merge(
+          graft.snapshot.SnapshotFold.batchSnapshots(
+            turns.join(broadcast(lateKeys), "conv_id")),
+          "conv_id", 1L)
+        (table, tmp)
+      })
+    }
+
   def cdcRead(s: SparkSession, d: String): DataFrame = {
-    implicit val sp: SparkSession = s
-    val turns = eventsAsTurns(s, d)
-    val split = turns.agg(floor(max(col("turn_idx")) / 2).cast("long")).head().getLong(0)
-    val tmp = Files.createTempDirectory("graft-cdc-q").toString
-    val table = new IcebergLikeTable(s"$tmp/table", 8)
-    table.merge(
-      graft.snapshot.SnapshotFold.batchSnapshots(turns.filter(col("turn_idx") <= split)),
-      "conv_id", 0L)
-    val lateKeys = turns.filter(col("turn_idx") > split).select("conv_id").distinct()
-    table.merge(
-      graft.snapshot.SnapshotFold.batchSnapshots(
-        turns.join(broadcast(lateKeys), "conv_id")),
-      "conv_id", 1L)
+    val table = cdcSource(s, d)._1
     table.readChangesSince(0L).select(
       col("conv_id"),
       col("last_turn_idx").cast("long").as("last_turn_idx"),
@@ -206,18 +222,7 @@ object StreamQueries {
     */
   def cdcFollow(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
-    val turns = eventsAsTurns(s, d)
-    val split = turns.agg(floor(max(col("turn_idx")) / 2).cast("long")).head().getLong(0)
-    val tmp = Files.createTempDirectory("graft-cdcf-q").toString
-    val src = new IcebergLikeTable(s"$tmp/src", 8)
-    src.merge(
-      graft.snapshot.SnapshotFold.batchSnapshots(turns.filter(col("turn_idx") <= split)),
-      "conv_id", 0L)
-    val lateKeys = turns.filter(col("turn_idx") > split).select("conv_id").distinct()
-    src.merge(
-      graft.snapshot.SnapshotFold.batchSnapshots(
-        turns.join(broadcast(lateKeys), "conv_id")),
-      "conv_id", 1L)
+    val (src, tmp) = cdcSource(s, d)
     val dst = new IcebergLikeTable(s"$tmp/dst", 8)
     graft.replay.ChangeFeed.syncTo(src, dst, s"$tmp/ckpt/pos")
     dst.read().select(
