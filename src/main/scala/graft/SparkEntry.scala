@@ -56,6 +56,7 @@ object SparkEntry {
     "assemble_convs" -> (TranscriptQueries.assembleConvs _),
     "pair_extract" -> (TranscriptQueries.pairExtract _),
     "sessionize" -> (TranscriptQueries.sessionize _),
+    "pack_chunks" -> ((s, d) => TranscriptQueries.packChunks(s, d)),
     "topk_per_key_native" -> (StreamQueries.topkPerKeyNative _),
     "o1_lineage" -> (StreamQueries.o1Lineage _),
     "h1_lag" -> (StreamQueries.h1Lag _),
@@ -256,6 +257,7 @@ object SparkEntry {
     "assemble_convs" -> TranscriptQueries.assembleConvsSql,
     "pair_extract" -> TranscriptQueries.pairExtractSql,
     "sessionize" -> TranscriptQueries.sessionizeSql,
+    "pack_chunks" -> TranscriptQueries.packChunksSql,
     "topk_per_key_native" -> StreamQueries.topkPerKeySql,
     "g1_stream_fanout" -> StreamQueries.g1StreamFanoutSql,
     "s1_ttl_snapshot" -> StreamQueries.s1StreamSnapshotSql, // same semantics, same oracle

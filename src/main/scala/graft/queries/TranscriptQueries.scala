@@ -64,6 +64,47 @@ object TranscriptQueries {
       .select(col("conv_id"), col("doc"), col("n_turns"),
         length(col("doc")).cast("long").as("n_chars"))
 
+  /** Sequence packing (pretraining concat-and-chunk): documents are
+    * concatenated into per-shard token streams and cut into fixed-budget
+    * chunks — each doc gets (shard, stream offset, chunk id). Sharding
+    * (`doc_id mod nShards`) is what makes this scale: the
+    * running-offset window sorts WITHIN a shard, never globally, exactly
+    * how production packing shards the corpus; determinism comes from the
+    * (doc_id) order within each shard. Chunk id =
+    * floor(exclusive-prefix-sum / budget): documents may straddle a chunk
+    * boundary — the concat-and-chunk convention (the consumer masks
+    * attention at document boundaries), not a bin-packing approximation.
+    */
+  def packChunks(s: SparkSession, d: String,
+      nShards: Int = 8, budget: Long = 4096L): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    Tables.documents(s, d)
+      // doc_id mod (not Murmur3): engine-neutral so the oracle computes
+      // the same shards; ids are dense so the spread is as uniform
+      .select(col("doc_id"), col("n_chars"),
+        pmod(col("doc_id"), lit(nShards)).as("shard"))
+      .withColumn("stream_off",
+        coalesce(sum(col("n_chars")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("shard").cast("int").as("shard"),
+        col("stream_off"),
+        floor(col("stream_off") / budget).as("chunk_id"))
+  }
+
+  val packChunksSql: String =
+    """WITH s AS (
+         SELECT doc_id, n_chars,
+                CAST(((doc_id % 8) + 8) % 8 AS INT) AS shard
+         FROM documents)
+       SELECT doc_id, shard,
+         CAST(COALESCE(sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS stream_off,
+         CAST(floor(COALESCE(sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT)
+           AS chunk_id
+       FROM s"""
+
   /** Per-turn sessionization (gaps-and-islands): label every turn with
     * its conversation-local session ordinal — a new session starts after
     * a ≥30-minute silence. This is the SEGMENTATION form of the session
