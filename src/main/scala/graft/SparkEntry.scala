@@ -20,6 +20,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     SnapshotQueries.a1SnapshotLatest(spark, "/root/testdata/sf0.001")
 
+  /** The dedup pipeline's OUTPUT keys: each duplicate class's
+    * representative (cluster_id == doc_id) plus all unclustered docs —
+    * candidates → verified pairs → connected components → filter.
+    * Shared by dedup_filtered and corpus_build.
+    */
+  private def dedupFilteredDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+    val cands = graft.dedup.Dedup.minhashCandidates(
+      docs, "doc_id", "text", numHashes = 64, rowsPerBand = 2)
+    val truePairs = TextQueries.ngramJaccard(s, d)
+      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+    graft.dedup.ConnectedComponents.clusters(
+      docs.select("doc_id"), "doc_id", truePairs, "doc_a", "doc_b")
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // znap core operators (SURVEY.md §2.1)
     "a1_snapshot_latest" -> (SnapshotQueries.a1SnapshotLatest _),
@@ -57,6 +74,7 @@ object SparkEntry {
     "pair_extract" -> (TranscriptQueries.pairExtract _),
     "sessionize" -> (TranscriptQueries.sessionize _),
     "pack_chunks" -> ((s, d) => TranscriptQueries.packChunks(s, d)),
+    "dataset_split" -> (TranscriptQueries.datasetSplit _),
     "topk_per_key_native" -> (StreamQueries.topkPerKeyNative _),
     "o1_lineage" -> (StreamQueries.o1Lineage _),
     "h1_lag" -> (StreamQueries.h1Lag _),
@@ -159,16 +177,16 @@ object SparkEntry {
     // representative (cluster_id == doc_id) plus all unclustered docs —
     // candidates → verified pairs → connected components → filter,
     // end-to-end.
-    "dedup_filtered" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
-      val cands = graft.dedup.Dedup.minhashCandidates(
-        docs, "doc_id", "text", numHashes = 64, rowsPerBand = 2)
-      val truePairs = TextQueries.ngramJaccard(s, d)
-        .join(cands, Seq("doc_a", "doc_b"), "left_semi")
-      graft.dedup.ConnectedComponents.clusters(
-        docs.select("doc_id"), "doc_id", truePairs, "doc_a", "doc_b")
-        .filter(col("doc_id") === col("cluster_id"))
-        .select(col("doc_id"))
+    "dedup_filtered" -> ((s, d) => dedupFilteredDocs(s, d)),
+    // The complete corpus-build flow in ONE plan: dedup (LSH candidates →
+    // exact-Jaccard verify → connected components → representative
+    // filter) → quality gate (length) → sequence packing into per-shard
+    // training chunks. Oracled by composing the stage SQLs.
+    "corpus_build" -> ((s, d) => {
+      val survivors = Tables.documents(s, d)
+        .join(dedupFilteredDocs(s, d), "doc_id")
+        .filter(col("n_chars") >= 200)
+      graft.queries.TranscriptQueries.packOver(survivors)
     }),
     "ngram_jaccard" -> (TextQueries.ngramJaccard _),
     // MinHash LSH candidates verified by exact Jaccard: the LSH bands
@@ -258,6 +276,7 @@ object SparkEntry {
     "pair_extract" -> TranscriptQueries.pairExtractSql,
     "sessionize" -> TranscriptQueries.sessionizeSql,
     "pack_chunks" -> TranscriptQueries.packChunksSql,
+    "dataset_split" -> TranscriptQueries.datasetSplitSql,
     "topk_per_key_native" -> StreamQueries.topkPerKeySql,
     "g1_stream_fanout" -> StreamQueries.g1StreamFanoutSql,
     "s1_ttl_snapshot" -> StreamQueries.s1StreamSnapshotSql, // same semantics, same oracle
@@ -296,6 +315,22 @@ object SparkEntry {
     "repetition_ratio" -> TextQueries.repetitionRatioSql,
     "dedup_filtered" ->
       s"""SELECT doc_id FROM ($dedupClustersSql) WHERE doc_id = cluster_id""",
+    "corpus_build" ->
+      s"""WITH kept AS (
+            SELECT doc_id FROM ($dedupClustersSql) WHERE doc_id = cluster_id),
+          surv AS (
+            SELECT d.doc_id, d.n_chars,
+                   CAST(((d.doc_id % 8) + 8) % 8 AS INT) AS shard
+            FROM documents d JOIN kept USING (doc_id)
+            WHERE d.n_chars >= 200)
+          SELECT doc_id, shard,
+            CAST(COALESCE(sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS stream_off,
+            CAST(floor(COALESCE(sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT)
+              AS chunk_id
+          FROM surv""",
     "ngram_jaccard" -> TextQueries.ngramJaccardSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> graft.ann.Ann.lshTopKSql(queryId = 0L, k = 10, dim = 64,

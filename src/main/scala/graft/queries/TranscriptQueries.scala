@@ -64,6 +64,29 @@ object TranscriptQueries {
       .select(col("conv_id"), col("doc"), col("n_turns"),
         length(col("doc")).cast("long").as("n_chars"))
 
+  /** Deterministic train/val/test split: assignment from the first two
+    * hex chars of md5(doc_id) against fixed thresholds (≈90/5/5) — pure
+    * per-row projection (no shuffle), reproducible across runs, engines,
+    * and cluster sizes, and independent of row order (the property a
+    * random() split lacks). Same recipe as the stratified sampler's
+    * md5 ranking.
+    */
+  def datasetSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("h"))
+      .select(col("doc_id"),
+        when(col("h") < "e6", "train")
+          .when(col("h") < "f3", "val")
+          .otherwise("test").as("split"))
+
+  val datasetSplitSql: String =
+    """SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split
+       FROM documents"""
+
   /** Sequence packing (pretraining concat-and-chunk): documents are
     * concatenated into per-shard token streams and cut into fixed-budget
     * chunks — each doc gets (shard, stream offset, chunk id). Sharding
@@ -76,9 +99,16 @@ object TranscriptQueries {
     * attention at document boundaries), not a bin-packing approximation.
     */
   def packChunks(s: SparkSession, d: String,
+      nShards: Int = 8, budget: Long = 4096L): DataFrame =
+    packOver(Tables.documents(s, d), nShards, budget)
+
+  /** Packing over any (doc_id, n_chars)-bearing frame — composable with
+    * upstream dedup/quality filters (the corpus_build exhibit).
+    */
+  def packOver(docs: DataFrame,
       nShards: Int = 8, budget: Long = 4096L): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
-    Tables.documents(s, d)
+    docs
       // doc_id mod (not Murmur3): engine-neutral so the oracle computes
       // the same shards; ids are dense so the spread is as uniform
       .select(col("doc_id"), col("n_chars"),
