@@ -25,7 +25,15 @@ object SparkEntry {
     * candidates → verified pairs → connected components → filter.
     * Shared by dedup_filtered and corpus_build.
     */
-  private def dedupFilteredDocs(s: SparkSession, d: String): DataFrame = {
+  private val dedupCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+
+  private def dedupFilteredDocs(s: SparkSession, d: String): DataFrame =
+    dedupCache.synchronized {
+      dedupCache.getOrElseUpdate((s, d), dedupFilteredDocsUncached(s, d).cache())
+    }
+
+  private def dedupFilteredDocsUncached(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
     val cands = graft.dedup.Dedup.minhashCandidates(
       docs, "doc_id", "text", numHashes = 64, rowsPerBand = 2)
@@ -69,6 +77,8 @@ object SparkEntry {
     "cdc_read" -> (StreamQueries.cdcRead _),
     // replica built ONLY from the change feed == full snapshot (s1 oracle)
     "cdc_follow" -> (StreamQueries.cdcFollow _),
+    // streaming exact dedup: digest-keyed store == DISTINCT md5(text)
+    "corpus_ingest" -> (StreamQueries.corpusIngest _),
     // training-sample construction over transcripts
     "assemble_convs" -> (TranscriptQueries.assembleConvs _),
     "pair_extract" -> (TranscriptQueries.pairExtract _),
@@ -272,6 +282,7 @@ object SparkEntry {
     "topk_per_key" -> StreamQueries.topkPerKeySql,
     "cdc_read" -> StreamQueries.cdcReadSql,
     "cdc_follow" -> StreamQueries.s1StreamSnapshotSql,
+    "corpus_ingest" -> StreamQueries.corpusIngestSql,
     "assemble_convs" -> TranscriptQueries.assembleConvsSql,
     "pair_extract" -> TranscriptQueries.pairExtractSql,
     "sessionize" -> TranscriptQueries.sessionizeSql,

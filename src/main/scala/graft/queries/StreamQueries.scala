@@ -485,6 +485,57 @@ object StreamQueries {
       .select(col("user_id"), col("session_start_us"),
         col("session_end_us"), col("n_events"))
 
+  // ---- streaming corpus ingestion (content-keyed dedup store) ---------
+  private val corpusCache = mutable.Map[(SparkSession, String), IcebergLikeTable]()
+
+  /** Streaming corpus ingestion with CROSS-BATCH exact dedup: documents
+    * arrive as a 4-micro-batch file stream; each batch keys its docs by
+    * content digest, collapses within-batch duplicates, and MERGEs into
+    * a digest-keyed store — so duplicates across batches (and checkpoint
+    * re-deliveries) land on the same key and the table holds exactly one
+    * row per distinct content. This is the streaming form of exact dedup
+    * (`dedup_exact` is its batch analog): the store IS the dedup state,
+    * bounded by distinct content, not by stream length.
+    */
+  private def runCorpusIngest(s: SparkSession, d: String): IcebergLikeTable =
+    corpusCache.synchronized {
+      corpusCache.getOrElseUpdate((s, d), {
+        implicit val sp: SparkSession = s
+        val tmp = Files.createTempDirectory("graft-corpus-q").toString
+        val inDir = s"$tmp/in"
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartitionByRange(4, col("doc_id")).write.parquet(inDir)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id bigint, text string")
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val table = new IcebergLikeTable(s"$tmp/table", 8, keyCol = "digest",
+          emptySchema = org.apache.spark.sql.types.StructType.fromDDL(
+            "digest string, doc_id bigint"))
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val deduped = batch.withColumn("digest", md5(col("text")))
+              .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+            table.merge(deduped, "digest", id)
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        table
+      })
+    }
+
+  /** The ingested store's distinct-content key set, DuckDB-oracled:
+    * streaming ingestion ≡ DISTINCT md5(text) over the whole corpus.
+    */
+  def corpusIngest(s: SparkSession, d: String): DataFrame =
+    runCorpusIngest(s, d).read().select(col("digest"))
+
+  val corpusIngestSql: String =
+    "SELECT DISTINCT md5(text) AS digest FROM documents"
+
   // ---- G1: streaming multi-target fan-out -----------------------------
   /** The two per-target filters mirror the batch g1_fanout exhibit. */
   private val fanoutTargets: Seq[(String, Seq[String])] = Seq(
