@@ -158,14 +158,14 @@ object Ann {
     * cluster so a query scans nProbe/C of the data. The query side is all
     * broadcast joins; top-k is TakeOrderedAndProject.
     */
-  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
-      numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** Inverted-list assignment: argmax cosine over the (small, broadcast)
+    * centroid set, ties → the smallest cluster id (max_by on
+    * (cos, -cluster)). One narrow stage + per-vector reduction; shared by
+    * [[ivfTopK]] and [[KMeans]]'s Lloyd iterations.
+    */
+  def assignToCentroids(emb: DataFrame, cents: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.cosine_sim
-    val cents = emb.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cluster"), col("embedding").as("c_emb"))
-    // inverted-list assignment: argmax cosine over centroids, ties → the
-    // smallest cluster id (max_by on (cos, -cluster))
-    val assigned = emb
+    emb
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cluster"),
         cosine_sim(col("embedding"), col("c_emb")).as("ccos"))
@@ -175,6 +175,23 @@ object Ann {
           struct(col("ccos"), -col("cluster"))).as("best"))
       .select(col("vec_id"), col("best.cluster").as("cluster"),
         col("best.embedding").as("embedding"))
+  }
+
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
+      numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = emb.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cluster"), col("embedding").as("c_emb"))
+    ivfTopKWith(emb, queryId, k, cents, nProbe)
+  }
+
+  /** IVF query against an arbitrary centroid set — [[ivfTopK]] passes the
+    * deterministic first-C centroids (oracle-reproducible);
+    * [[KMeans.trainedIvfTopK]] passes Lloyd-refined ones.
+    */
+  def ivfTopKWith(emb: DataFrame, queryId: Long, k: Int,
+      cents: DataFrame, nProbe: Int): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_sim
+    val assigned = assignToCentroids(emb, cents)
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     // probe set: the nProbe centroids nearest the query
