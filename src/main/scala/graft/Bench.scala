@@ -127,26 +127,42 @@ object Bench {
     // --- driver-table query timings -----------------------------------
     // SPARK_GRAFT_ONLY=q1,q2 narrows to a subset for focused A/B probes
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // per-query shuffle-write bytes: on a cluster the shuffle is network,
+    // so bytes predict 100-TB behavior where local seconds cannot
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
       .map { case (name, fn) =>
+      shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           // a failed query must be LOUD, not a silently shorter total
           System.err.println(s"[bench] QUERY FAILED $name: $e")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graftshim.Shim.waitListenerBus(spark.sparkContext)
+      (name, secs, shuffleBytes.get / 1e6)
     }
 
     // --- north-rule headline: snapshot build + replay throughput ------
     // (skipped in SPARK_GRAFT_ONLY probe mode — the subset timing is the
     // point there, not the headline)
-    if (only.isDefined) {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmtMap(f: ((String, Double, Double)) => (String, Double)): String =
+      results.map(r => { val (k, v) = f(r); "\"" + k + "\":" + v })
         .mkString("{", ",", "}")
+    val shuffleJson = fmtMap { case (k, _, mb) => k -> mb }
+    if (only.isDefined) {
       println(s"""{"metric":"subset","value":${results.map(_._2).sum},""" +
-        s""""unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+        s""""unit":"sec","queries":${fmtMap(r => r._1 -> r._2)},""" +
+        s""""query_shuffle_mb":$shuffleJson,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -165,8 +181,7 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = fmtMap(r => r._1 -> r._2)
     val total = results.map(_._2).sum + batchFoldS + streamS + replayS
     val extra =
       s""""synthetic":{"turns":$rows,"batch_fold_sec":$batchFoldS,""" +
@@ -175,7 +190,8 @@ object Bench {
         s""""stream_rows_per_sec_listener":$streamListenerRps,""" +
         s""""replay_to_ts_sec":$replayS,"replay_turns_per_sec":${rows / replayS},""" +
         s""""cpus":$cpus}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""query_shuffle_mb":$shuffleJson,$extra,"sf":"$sfDir"}""")
     rmrf(java.nio.file.Paths.get(turnsDir).getParent.toString)
     spark.stop()
   }
