@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.store.IcebergLikeTable
+
+/** Maintenance entry point for spark-submit (tools/submit.sh): runs the
+  * out-of-band table operations a production deployment schedules between
+  * micro-batches — deferred compaction, deep-clean vacuum, bucket-count
+  * evolution, column drops — plus read-only introspection. Usage:
+  *
+  *   graft.Maintain <tableRoot> compact
+  *   graft.Maintain <tableRoot> vacuum
+  *   graft.Maintain <tableRoot> rebucket <n>
+  *   graft.Maintain <tableRoot> drop-column <name>
+  *   graft.Maintain <tableRoot> versions | stats | schema
+  *
+  * All mutations are single-writer atomic manifest commits (safe to
+  * interleave with a running stream's merges — see IcebergLikeTable).
+  */
+object Maintain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: graft.Maintain <tableRoot> <op> [arg]")
+    val (root, op) = (args(0), args(1))
+    // spark-submit provides spark.master; direct runs fall back to local
+    val builder = SparkSession.builder()
+      .appName(s"graft-maintain-$op")
+      .config("spark.sql.session.timeZone", "UTC")
+    implicit val spark: SparkSession =
+      (if (sys.props.contains("spark.master")) builder
+       else builder.master("local[4]")).getOrCreate()
+    val t = new IcebergLikeTable(root, numBuckets = 8, inlineCompaction = false)
+    op match {
+      case "compact" =>
+        println(s"compacted=${t.compact()}")
+      case "vacuum" =>
+        t.vacuum(); println(s"dataFilesOnDisk=${t.dataFilesOnDisk()}")
+      case "rebucket" =>
+        t.rebucket(args(2).toInt); println(s"buckets=${t.currentBuckets()}")
+      case "drop-column" =>
+        t.dropColumn(args(2)); println(s"schema=${t.schema().fieldNames.mkString(",")}")
+      case "versions" =>
+        println(t.manifestVersions().mkString(","))
+      case "stats" =>
+        val (b, d) = t.fileStats()
+        println(s"baseFiles=$b deltaFiles=$d buckets=${t.currentBuckets()} " +
+          s"lastBatchId=${t.readManifest().lastBatchId}")
+      case "schema" =>
+        println(t.schema().treeString)
+      case other =>
+        throw new IllegalArgumentException(s"unknown op '$other'")
+    }
+    spark.stop()
+  }
+}

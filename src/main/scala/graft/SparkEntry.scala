@@ -181,6 +181,8 @@ object SparkEntry {
     "fingerprint" -> (TextQueries.fingerprint _),
     "token_counts" -> (TextQueries.tokenCounts _),
     "stratified_sample" -> ((s, d) => TextQueries.stratifiedSample(s, d)),
+    "source_cap" -> ((s, d) => TextQueries.sourceCap(s, d)),
+    "redact_pii" -> (TextQueries.redactPii _),
     "top_terms" -> (TextQueries.topTerms _),
     "repetition_ratio" -> (TextQueries.repetitionRatio _),
     // The dedup pipeline's actual OUTPUT: keep each duplicate class's
@@ -322,6 +324,8 @@ object SparkEntry {
     "fingerprint" -> TextQueries.fingerprintSql,
     "token_counts" -> TextQueries.tokenCountsSql,
     "stratified_sample" -> TextQueries.stratifiedSampleSql,
+    "source_cap" -> TextQueries.sourceCapSql,
+    "redact_pii" -> TextQueries.redactPiiSql,
     "top_terms" -> TextQueries.topTermsSql,
     "repetition_ratio" -> TextQueries.repetitionRatioSql,
     "dedup_filtered" ->

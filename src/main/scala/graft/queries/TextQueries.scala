@@ -178,6 +178,49 @@ object TextQueries {
          FROM documents)
        WHERE rn <= 20"""
 
+  /** Per-source quota (the "domain cap" of web-corpus curation): keep at
+    * most k docs per source, chosen by the deterministic md5 rank — no
+    * single domain can dominate the training mix, and the selection is
+    * reproducible across runs and cluster sizes. Same shape as
+    * [[stratifiedSample]] with the source column as the stratum.
+    */
+  def sourceCap(s: SparkSession, d: String, k: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("source"))
+  }
+
+  val sourceCapSql: String =
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source, row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM documents)
+       WHERE rn <= 50"""
+
+  /** PII-shaped redaction (curation scrub): emails and long digit runs
+    * replaced with typed placeholder tokens. Pure per-row projection
+    * (codegen regexp_replace, no shuffle); patterns restricted to
+    * character classes Java regex and RE2 interpret identically, so the
+    * DuckDB oracle applies the SAME patterns.
+    */
+  def redactPii(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+          "[0-9]{9,}", "<NUM>").as("text_redacted"))
+
+  val redactPiiSql: String =
+    """SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         '[0-9]{9,}', '<NUM>', 'g') AS text_redacted
+       FROM documents"""
+
   /** Keyword extraction, tf-idf-shaped but integer-ranked (high term
     * frequency, rare document frequency) so the oracle is float-free:
     * top-3 terms (length ≥ 4) per doc by (tf DESC, df ASC, term ASC),
