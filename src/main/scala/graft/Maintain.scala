@@ -21,6 +21,8 @@ object Maintain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: graft.Maintain <tableRoot> <op> [arg]")
     val (root, op) = (args(0), args(1))
+    if (op == "rebucket" || op == "drop-column")
+      require(args.length >= 3, s"usage: graft.Maintain <tableRoot> $op <arg>")
     // spark-submit provides spark.master; direct runs fall back to local
     val builder = SparkSession.builder()
       .appName(s"graft-maintain-$op")

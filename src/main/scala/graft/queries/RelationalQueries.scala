@@ -186,7 +186,13 @@ object RelationalQueries {
     */
   def approxDistinctFull(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).groupBy(col("event_type")).agg(
-      approx_count_distinct(col("user_id")).as("approx_users"),
+      // rsd 0.01 (2^14 registers), NOT the 0.05 default: the oracled 5%
+      // contract then holds with ~5σ margin at ANY fixture cardinality —
+      // at rsd 0.05 the sketch's systematic mid-range bias broke the
+      // bound for every group at sf0.1 (measured), exactly the fixture
+      // dependence ADVICE r2 flagged. A 16 KB sketch per group is the
+      // honest price of an accuracy contract a gate can rely on.
+      approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
       countDistinct(col("user_id")).as("exact_users"))
 
   def approxDistinct(s: SparkSession, d: String): DataFrame =

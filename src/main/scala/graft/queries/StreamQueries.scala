@@ -350,6 +350,24 @@ object StreamQueries {
     } finally parts.close()
   }
 
+  /** Append `sentinel` to a stamped stream-input dir so it ARRIVES last
+    * (FileStreamSource orders new files by (mtime, path)): the sentinel's
+    * far-future event time then drives the watermark past every real
+    * window/session, flushing them to the append-mode sink, while its own
+    * group never closes. Shared by the tumbling and session pipelines.
+    */
+  private def appendSentinelLast(inDir: String,
+      stamped: Set[java.nio.file.Path],
+      sentinel: DataFrame): Unit = {
+    sentinel.coalesce(1).write.mode("append").parquet(inDir)
+    val ls = Files.list(java.nio.file.Paths.get(inDir))
+    val fresh = try ls.iterator().asScala.toSeq
+      .filter(p => p.toString.endsWith(".parquet") && !stamped.contains(p))
+    finally ls.close()
+    fresh.foreach(p => Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L + 1000L * 60000L)))
+  }
+
   // ---- streaming windowed aggregation (append mode, watermark-closed) --
   private val windowCache = mutable.Map[(SparkSession, String), String]()
 
@@ -374,16 +392,9 @@ object StreamQueries {
         src.repartitionByRange(4, col("ts")).write.parquet(inDir)
         val stamped = stampAscending(inDir)
         val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
-        Seq((new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000), 0.0))
-          .toDF("ts", "value").coalesce(1).write.mode("append").parquet(inDir)
-        val sentinelFiles = {
-          val ls = Files.list(java.nio.file.Paths.get(inDir))
-          try ls.iterator().asScala.toSeq
-            .filter(p => p.toString.endsWith(".parquet") && !stamped.contains(p))
-          finally ls.close()
-        }
-        sentinelFiles.foreach(p => Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + 1000L * 60000L)))
+        appendSentinelLast(inDir, stamped,
+          Seq((new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000), 0.0))
+            .toDF("ts", "value"))
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("ts",
             org.apache.spark.sql.types.TimestampType),
@@ -444,16 +455,9 @@ object StreamQueries {
         src.repartitionByRange(4, col("ts")).write.parquet(inDir)
         val stamped = stampAscending(inDir)
         val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
-        Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000)))
-          .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(inDir)
-        val sentinelFiles = {
-          val ls = Files.list(java.nio.file.Paths.get(inDir))
-          try ls.iterator().asScala.toSeq
-            .filter(p => p.toString.endsWith(".parquet") && !stamped.contains(p))
-          finally ls.close()
-        }
-        sentinelFiles.foreach(p => Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + 1000L * 60000L)))
+        appendSentinelLast(inDir, stamped,
+          Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000)))
+            .toDF("user_id", "ts"))
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("user_id",
             org.apache.spark.sql.types.LongType),

@@ -146,9 +146,14 @@ object TranscriptQueries {
   def sessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
     StreamQueries.eventsAsTurns(s, d)
+      // microsecond gap math: fixture timestamps carry fractional seconds,
+      // and a whole-second cast disagrees with the oracle's epoch() near
+      // the 1800s boundary (diverges at sf0.1) — compare in micros on
+      // BOTH sides
       .withColumn("new_session",
-        when(col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")
-          >= 1800L || lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+          >= 1800L * 1000000L || lag(col("ts"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
       .withColumn("session_id",
         sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
@@ -160,7 +165,7 @@ object TranscriptQueries {
                          event_id AS turn_idx, ts FROM events),
        flagged AS (
          SELECT conv_id, turn_idx, ts,
-           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+           CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   OR lag(ts) OVER w IS NULL
                 THEN 1 ELSE 0 END AS new_session
          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx))

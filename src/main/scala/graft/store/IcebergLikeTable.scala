@@ -183,9 +183,23 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     if (writeVersioned) {
+      // Same-version maintenance commits (compact/rebucket/vacuum at an
+      // unchanged lastBatchId) legitimately rewrite this version's FILE
+      // LAYOUT — but must not rewrite the SCHEMA the version had: after a
+      // dropColumn (which deliberately skipped its versioned write), the
+      // retained history entry still carries the pre-drop schema, and
+      // time travel keeps restoring the column (values until a rewrite
+      // ages the bytes out; nulls after — the retention contract).
+      val vPath = Paths.get(root, s"manifest-v${m.lastBatchId}.json")
+      val vm =
+        if (Files.exists(vPath)) {
+          val prev = parseManifest(Files.readString(vPath))
+          m.copy(tableSchema = prev.tableSchema.orElse(m.tableSchema),
+            droppedColumns = prev.droppedColumns)
+        } else m
       val vTmp = Paths.get(root, s"manifest.vtmp.${m.lastBatchId}")
-      Files.writeString(vTmp, renderManifest(m))
-      Files.move(vTmp, Paths.get(root, s"manifest-v${m.lastBatchId}.json"),
+      Files.writeString(vTmp, renderManifest(vm))
+      Files.move(vTmp, vPath,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
   }
@@ -547,7 +561,20 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       commitAndGc(m, m.copy(bucketCount = Some(newBuckets)))
       return
     }
-    val dir = s"$root/data/rebucket-v${m.lastBatchId}n$newBuckets"
+    // already at this count with a clean base → nothing to do (and the
+    // naive dir name would collide with the LIVE data — see below)
+    if (newBuckets == bucketsOf(m) && m.deltas.values.forall(_.isEmpty)) return
+    // Pick a target dir that neither exists on disk nor contains any live
+    // file: a repeated rebucket at the same (version, count) would
+    // otherwise mode("overwrite")-DELETE the very directory the lazy scan
+    // is about to read — unrecoverable data loss. Crashed partials (dir
+    // exists, unreferenced) are also skipped; vacuum sweeps them.
+    val base = s"data/rebucket-v${m.lastBatchId}n$newBuckets"
+    val dirRel = Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base-r$i")
+      .find(n => !Files.exists(Paths.get(root, n)) &&
+        !m.dataFiles.exists(_.startsWith(n + "/"))).get
+    val dir = s"$root/$dirRel"
     // preserved __seq: a rebucket changes layout, not content, and must
     // not fabricate changes for readChangesSince
     resolveKeepSeq(scanWith(m, m.dataFiles.map(f => s"$root/$f")))
@@ -556,7 +583,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
         math.max(spark.sparkContext.defaultParallelism, 32)), col("__bucket"))
       .sortWithinPartitions(col(keyCol))
       .write.mode("overwrite").partitionBy("__bucket").parquet(dir)
-    val newBase = listBucketFiles(dir, s"data/rebucket-v${m.lastBatchId}n$newBuckets")
+    val newBase = listBucketFiles(dir, dirRel)
     commitAndGc(m, m.copy(buckets = newBase,
       deltas = Map.empty, bucketCount = Some(newBuckets)))
   }
@@ -719,7 +746,9 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
 
   /** data/ files on disk (vacuum effectiveness check). */
   def dataFilesOnDisk(): Int = {
-    val walk = Files.walk(Paths.get(root, "data"))
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.exists(dataRoot)) return 0
+    val walk = Files.walk(dataRoot)
     try walk.iterator().asScala.count(p =>
       Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
     finally walk.close()

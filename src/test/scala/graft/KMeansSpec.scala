@@ -67,7 +67,7 @@ class KMeansSpec extends SparkSpec {
     val partial = KMeans.trainedIvfTopK(emb, q, 10,
       numCentroids = 8, iters = 2, nProbe = 3)
       .select("vec_id").as[Long].collect().toSet
-    assert(partial.subsetOf(brute) || partial.nonEmpty)
+    assert(partial.size == 10, "partial probe must still fill k results")
     val recall = partial.intersect(brute).size / 10.0
     info(f"trained-IVF recall@10 (nProbe=3/8): $recall%.2f")
     assert(recall >= 0.5, "partial probe should recover at least half on this corpus")

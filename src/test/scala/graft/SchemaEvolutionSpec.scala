@@ -97,6 +97,42 @@ class SchemaEvolutionSpec extends SparkSpec {
       .getMessage.contains("key column"))
   }
 
+  test("repeated rebucket cycles never overwrite live data (same version, same count)") {
+    val t = new IcebergLikeTable(tmpDir("rebucketcycle") + "/t", numBuckets = 4,
+      emptySchema = baseSchema)
+    val content = (0 until 30).map(i => (s"k$i", i.toLong))
+    assert(t.merge(content.toDF("conv_id", "v"), "conv_id", 0L))
+    def check(): Unit =
+      assert(t.read().as[(String, Long)].collect().toMap == content.toMap)
+    t.rebucket(16); check()
+    t.rebucket(16); check() // clean-base same-count: no-op, must not self-overwrite
+    t.rebucket(8); check()
+    // same lastBatchId, same count as the FIRST rebucket: the naive dir
+    // name collides with a retained version's files — must pick a fresh one
+    t.rebucket(16); check()
+    assert(t.currentBuckets() == 16)
+    // lookups still prune correctly with the final committed count
+    assert(t.lookup("conv_id", "k7").as[(String, Long)].collect().toSeq ==
+      Seq(("k7", 7L)))
+  }
+
+  test("drop survives later same-version maintenance: history keeps the pre-drop schema") {
+    val t = new IcebergLikeTable(tmpDir("evodrop2") + "/t", numBuckets = 2,
+      maxDeltasPerBucket = 1, emptySchema = baseSchema)
+    assert(t.merge(Seq(("a", 1L, 0.9), ("b", 1L, 0.5))
+      .toDF("conv_id", "v", "quality"), "conv_id", 0L))
+    val preDrop = t.readManifest().lastBatchId
+    t.dropColumn("quality")
+    // maintenance at the SAME lastBatchId rewrites the version's file
+    // layout — the retained history entry must keep the pre-drop schema
+    t.rebucket(4)
+    t.vacuum()
+    val old = t.readAsOf(preDrop)
+    assert(old.columns.contains("quality"),
+      "pre-drop history lost its schema after same-version maintenance")
+    assert(!t.read().columns.contains("quality"))
+  }
+
   test("type change is rejected loudly") {
     val t = new IcebergLikeTable(tmpDir("evo-rej") + "/t", numBuckets = 2,
       emptySchema = baseSchema)
