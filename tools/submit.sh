@@ -6,6 +6,10 @@
 #
 # Usage: tools/submit.sh <main-class> [args...]
 #   e.g. tools/submit.sh graft.Bench
+#   maintenance between micro-batches (deferred compaction / GC / evolution):
+#     tools/submit.sh graft.Maintain s3a://bucket/tables/snapshots compact
+#     tools/submit.sh graft.Maintain s3a://bucket/tables/snapshots rebucket 1024
+#     tools/submit.sh graft.Maintain s3a://bucket/tables/snapshots stats
 #        tools/submit.sh graft.ScalingBench 32
 #
 # Sizing rationale (100-TB deployment):
