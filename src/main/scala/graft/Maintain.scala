@@ -35,7 +35,12 @@ object Maintain {
       case "compact" =>
         println(s"compacted=${t.compact()}")
       case "vacuum" =>
-        t.vacuum(); println(s"dataFilesOnDisk=${t.dataFilesOnDisk()}")
+        // out-of-band deep clean: grace-shield files younger than 15 min
+        // (an in-flight micro-batch's uncommitted deltas) — see
+        // IcebergLikeTable.vacuum
+        t.vacuum(graceMs = sys.env.getOrElse("GRAFT_VACUUM_GRACE_MS",
+          "900000").toLong)
+        println(s"dataFilesOnDisk=${t.dataFilesOnDisk()}")
       case "rebucket" =>
         t.rebucket(args(2).toInt); println(s"buckets=${t.currentBuckets()}")
       case "drop-column" =>

@@ -114,7 +114,11 @@ object GraftBucketPrune extends Rule[LogicalPlan] with PredicateHelper {
     val replacement = df.queryExecution.analyzed
     val byName = replacement.output.map(a => a.name -> a).toMap
     Project(g.output.map { o =>
-      Alias(byName(o.name), o.name)(exprId = o.exprId,
+      val source = byName.getOrElse(o.name, throw new IllegalStateException(
+        s"GraftScan view is stale: column '${o.name}' is no longer in the " +
+          s"table's committed schema (a dropColumn happened after the view " +
+          "was registered) — re-register the relation"))
+      Alias(source, o.name)(exprId = o.exprId,
         qualifier = o.qualifier, explicitMetadata = Some(o.metadata))
     }, replacement)
   }

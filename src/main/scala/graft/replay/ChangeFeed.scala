@@ -21,10 +21,13 @@ import graft.store.IcebergLikeTable
   * that, making the end-to-end pipeline exactly-once
   * (ChangeFeedSpec proves it by crashing the processor mid-range).
   *
-  * Retention contract: the follower reads the LIVE manifest, so unlike
-  * time travel it never needs retained versions — a follower arbitrarily
-  * far behind still syncs correctly (it just sees a bigger coalesced
-  * range).
+  * Retention contract: each poll reads through the CURRENT version's
+  * retained manifest (pinning the range against commits landing
+  * mid-poll), so a single poll must finish within the retention window —
+  * but the follower's LAG is unbounded: however far behind the
+  * checkpoint is, the next poll coalesces everything since it in one
+  * pass (changes-since needs only the newest manifest, never the old
+  * ones).
   */
 object ChangeFeed {
 
@@ -45,7 +48,13 @@ object ChangeFeed {
     val current = src.readManifest().lastBatchId
     if (current <= last) None
     else {
-      process(src.readChangesSince(last), current)
+      // changesBetween pins the range to `current`'s RETAINED manifest:
+      // a commit landing mid-poll can neither relabel the batch (rows
+      // stay ≤ current) nor GC its files while the version is retained —
+      // so a poll must complete within the retention window
+      // (retainManifests source commits), the same contract time travel
+      // has.
+      process(src.readChangesBetween(last, current), current)
       writeCheckpoint(Paths.get(ckpt), current) // offset AFTER data
       Some(current)
     }

@@ -227,13 +227,25 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * vacuum keeps the last [[retainManifests]] versions' files, exactly
     * like Iceberg's expire_snapshots bounds its history.
     */
-  def readAsOf(batchId: Long): DataFrame = {
+  def readAsOf(batchId: Long): DataFrame = scanResolved(retainedManifest(batchId))
+
+  /** The retained versioned manifest of `batchId`, or a loud failure once
+    * retention expired it (shared by [[readAsOf]]/[[readChangesBetween]]).
+    */
+  private def retainedManifest(batchId: Long): Manifest = {
     val vPath = Paths.get(root, s"manifest-v$batchId.json")
     if (!Files.exists(vPath) || batchId > readManifest().lastBatchId)
       throw new IllegalArgumentException(
         s"no committed retained manifest for batch $batchId " +
           s"(retained: ${manifestVersions().mkString(",")})")
-    val m = parseManifest(Files.readString(vPath))
+    parseManifest(Files.readString(vPath))
+  }
+
+  /** Snapshot read of a manifest: schema-stable empty frame, clean-base
+    * fast path (no resolution when no deltas exist), last-writer-wins
+    * resolution otherwise (shared by [[read]]/[[readAsOf]]).
+    */
+  private def scanResolved(m: Manifest): DataFrame = {
     val files = m.dataFiles.map(f => s"$root/$f")
     if (files.isEmpty) emptyDf(m.tableSchema.getOrElse(emptySchema))
     else if (m.deltas.values.forall(_.isEmpty))
@@ -281,6 +293,11 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     df.groupBy(col(keyCol))
       .agg(max_by(struct(payload.map(col): _*), col("__seq")).as("__r"))
       .select(col(keyCol) +: payload.map(c => col(s"__r.$c").as(c)): _*)
+      // restore the INPUT column order (key where the schema puts it):
+      // without this, read() returns key-first while deltas exist but
+      // schema order once compaction empties them — a silent positional
+      // flip for tables whose key is not the first schema column
+      .select(df.columns.filter(_ != "__seq").map(col) :+ col("__seq"): _*)
   }
 
   /** Snapshot-consistent read: only files the manifest lists. Returns a
@@ -288,14 +305,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * selects — e.g. Replay.dump's select(keyCol) — see zero rows, not an
     * AnalysisException from a schemaless emptyDataFrame).
     */
-  def read(): DataFrame = {
-    val m = readManifest()
-    val files = m.dataFiles.map(f => s"$root/$f")
-    if (files.isEmpty) emptyDf(m.tableSchema.getOrElse(emptySchema))
-    else if (m.deltas.values.forall(_.isEmpty))
-      scanWith(m, files).drop("__seq")
-    else resolve(scanWith(m, files))
-  }
+  def read(): DataFrame = scanResolved(readManifest())
 
   /** Point lookup — prunes to the key's single bucket before scanning
     * (znap Q1: restapi/DynamoDBEntityReader.scala:38-73 consistent getItem).
@@ -375,8 +385,14 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * post-since base by compaction resolve to their true (≤ sinceBatch)
     * seq and are filtered out.
     */
-  def readChangesSince(sinceBatch: Long): DataFrame = {
-    val m = readManifest()
+  def readChangesSince(sinceBatch: Long): DataFrame =
+    changesFrom(readManifest(), sinceBatch)
+
+  /** The change computation shared by the live and historical forms:
+    * candidate files = those whose directory version exceeds `since`;
+    * resolve with preserved seqs; keep rows changed after `since`.
+    */
+  private def changesFrom(m: Manifest, sinceBatch: Long): DataFrame = {
     val cand = m.dataFiles.filter(f => fileVersion(f) > sinceBatch)
     if (cand.isEmpty) emptyDf(m.tableSchema.getOrElse(emptySchema))
     else resolveKeepSeq(scanWith(m, cand.map(f => s"$root/$f")))
@@ -391,16 +407,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     */
   def readChangesBetween(sinceBatch: Long, toBatch: Long): DataFrame = {
     require(sinceBatch <= toBatch, s"empty range ($sinceBatch, $toBatch]")
-    val vPath = Paths.get(root, s"manifest-v$toBatch.json")
-    if (!Files.exists(vPath) || toBatch > readManifest().lastBatchId)
-      throw new IllegalArgumentException(
-        s"no committed retained manifest for batch $toBatch " +
-          s"(retained: ${manifestVersions().mkString(",")})")
-    val m = parseManifest(Files.readString(vPath))
-    val cand = m.dataFiles.filter(f => fileVersion(f) > sinceBatch)
-    if (cand.isEmpty) emptyDf(m.tableSchema.getOrElse(emptySchema))
-    else resolveKeepSeq(scanWith(m, cand.map(f => s"$root/$f")))
-      .where(col("__seq") > sinceBatch).drop("__seq")
+    changesFrom(retainedManifest(toBatch), sinceBatch)
   }
 
   def lineage(): DataFrame = {
@@ -612,7 +619,16 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     else {
       val files = toCompact.toSeq.sorted.flatMap(b =>
         (base.getOrElse(b, Nil) ++ deltas.getOrElse(b, Nil)).map(f => s"$root/$f"))
-      val baseDir = s"$root/data/base-$version"
+      // Uniquified output dir (same hazard class as rebucket's): a second
+      // compaction at the same lastBatchId — e.g. a deferred compact()
+      // re-run with a lower threshold — would otherwise mode("overwrite")
+      // the dir holding the PREVIOUS compaction's live base files.
+      val live = (base.values.flatten ++ deltas.values.flatten).toSeq
+      val baseRel = Iterator.from(0)
+        .map(i => if (i == 0) s"data/base-$version" else s"data/base-$version-r$i")
+        .find(n => !Files.exists(Paths.get(root, n)) &&
+          !live.exists(_.startsWith(n + "/"))).get
+      val baseDir = s"$root/$baseRel"
       // preserved per-row __seq (the commit that last changed the key) —
       // newer deltas still win resolution by construction, and
       // readChangesSince stays exact across compactions
@@ -621,7 +637,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
         .repartition(math.max(toCompact.size, 1), col("__bucket"))
         .sortWithinPartitions(col(keyCol))
         .write.mode("overwrite").partitionBy("__bucket").parquet(baseDir)
-      val newBase = listBucketFiles(baseDir, s"data/base-$version")
+      val newBase = listBucketFiles(baseDir, baseRel)
       val b2 = base.filter { case (b, _) => !toCompact.contains(b) } ++ newBase
       val d2 = deltas.map { case (b, fs) =>
         b -> (if (toCompact.contains(b)) Seq.empty[String] else fs)
@@ -661,6 +677,20 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
   private def commitAndGc(prev: Manifest, next0: Manifest,
       writtenThisCommit: Set[String] = Set.empty,
       writeVersioned: Boolean = true): Unit = {
+    // Optimistic-concurrency check: the mutation was computed from `prev`;
+    // if another process committed meanwhile (an out-of-band Maintain
+    // compact/rebucket racing the streaming writer), blindly renaming over
+    // its manifest would silently revert a committed batch. Conflict
+    // DETECTION, not serialization — the residual window is the
+    // check-to-rename microseconds (a real object-store deployment does
+    // this compare-and-swap in the catalog); the losing operation throws
+    // and is safe to re-run against the new state.
+    val disk = readManifest()
+    if (disk.lastBatchId != prev.lastBatchId ||
+        disk.dataFiles.toSet != prev.dataFiles.toSet)
+      throw new java.util.ConcurrentModificationException(
+        s"manifest advanced during this operation (was batch ${prev.lastBatchId}, " +
+          s"now ${disk.lastBatchId}) — re-run against the current state")
     val newLive = next0.dataFiles.toSet
     val tombstones =
       (prev.removed ++
@@ -699,7 +729,16 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * superseded, so only `data/` is swept. Safe post-commit: anything
     * removed is invisible from every retained manifest.
     */
-  def vacuum(): Unit = {
+  /** `graceMs` shields files YOUNGER than the window from deletion: an
+    * out-of-band deep clean racing an in-flight merge would otherwise
+    * delete the not-yet-committed delta directory (no manifest references
+    * it yet) and the batch would commit empty or broken. 0 (default) is
+    * correct for the single-process usage the specs exercise; a separate
+    * maintenance process (Maintain CLI) passes a window comfortably above
+    * the longest micro-batch.
+    */
+  def vacuum(graceMs: Long = 0L): Unit = {
+    val cutoff = System.currentTimeMillis() - graceMs
     val m = readManifest()
     val versions = manifestVersions()
     val expired = versions.dropRight(retainManifests)
@@ -715,7 +754,9 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       try {
         walk.iterator().asScala.toSeq.reverse.foreach { p =>
           if (Files.isRegularFile(p)) {
-            if (!live.contains(p.toAbsolutePath.normalize)) Files.delete(p)
+            if (!live.contains(p.toAbsolutePath.normalize) &&
+              (graceMs <= 0L ||
+                Files.getLastModifiedTime(p).toMillis < cutoff)) Files.delete(p)
           } else if (Files.isDirectory(p) && p != dataRoot) {
             val ls = Files.list(p)
             val empty = try !ls.iterator().hasNext finally ls.close()

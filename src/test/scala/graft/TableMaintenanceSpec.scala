@@ -61,6 +61,45 @@ class TableMaintenanceSpec extends SparkSpec {
       Map("k0" -> 0, "k1" -> 1, "k2" -> 2, "shared" -> 2))
   }
 
+  test("repeated deferred compaction at one version never overwrites its own base files") {
+    val root = tmpDir("compactcollide") + "/t"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "conv_id string, n int")
+    val t1 = new IcebergLikeTable(root, numBuckets = 4,
+      maxDeltasPerBucket = 3, inlineCompaction = false, emptySchema = schema)
+    // batch 0 touches every bucket; batches 1-2 touch only k0's bucket,
+    // so ONLY that bucket reaches the 3-delta threshold
+    t1.merge((0 until 40).map(i => (s"k$i", i)).toDF("conv_id", "n"),
+      "conv_id", 0L)
+    t1.merge(Seq(("k0", 100)).toDF("conv_id", "n"), "conv_id", 1L)
+    t1.merge(Seq(("k0", 200)).toDF("conv_id", "n"), "conv_id", 2L)
+    val content = (1 until 40).map(i => (s"k$i", i)) :+ ("k0" -> 200)
+    assert(t1.compact()) // k0's bucket only -> base-v2c
+    // a differently-configured process compacts AGAIN at the same
+    // lastBatchId (lower threshold): the naive dir name collides with the
+    // live base files the first compaction just wrote
+    val t2 = new IcebergLikeTable(root, numBuckets = 4,
+      maxDeltasPerBucket = 1, inlineCompaction = false, emptySchema = schema)
+    assert(t2.compact())
+    assert(t2.fileStats()._2 == 0, "all delta chains compacted")
+    assert(t2.read().as[(String, Int)].collect().toMap == content.toMap)
+  }
+
+  test("vacuum grace window shields in-flight (young, uncommitted) files") {
+    val t = new IcebergLikeTable(tmpDir("vacgrace") + "/t", numBuckets = 2,
+      emptySchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "conv_id string, n int"))
+    t.merge(Seq(("a", 1)).toDF("conv_id", "n"), "conv_id", 0L)
+    // an uncommitted in-flight delta: fresh file no manifest references
+    val orphan = java.nio.file.Paths.get(t.root, "data", "delta-v9", "part-inflight.parquet")
+    java.nio.file.Files.createDirectories(orphan.getParent)
+    java.nio.file.Files.writeString(orphan, "not-yet-committed")
+    t.vacuum(graceMs = 3600L * 1000) // young file survives the deep clean
+    assert(java.nio.file.Files.exists(orphan))
+    t.vacuum() // default: the single-process semantics delete it
+    assert(!java.nio.file.Files.exists(orphan))
+  }
+
   test("vacuum deletes superseded files: disk matches the live manifest") {
     val table = new IcebergLikeTable(tmpDir("vac") + "/t", numBuckets = 4,
       maxDeltasPerBucket = 2, retainManifests = 1)
