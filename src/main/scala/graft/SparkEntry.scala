@@ -288,7 +288,7 @@ object SparkEntry {
     "assemble_convs" -> TranscriptQueries.assembleConvsSql,
     "pair_extract" -> TranscriptQueries.pairExtractSql,
     "sessionize" -> TranscriptQueries.sessionizeSql,
-    "pack_chunks" -> TranscriptQueries.packChunksSql,
+    "pack_chunks" -> TranscriptQueries.packChunksSql(),
     "dataset_split" -> TranscriptQueries.datasetSplitSql,
     "topk_per_key_native" -> StreamQueries.topkPerKeySql,
     "g1_stream_fanout" -> StreamQueries.g1StreamFanoutSql,

@@ -26,29 +26,43 @@ object KMeans {
     */
   def fit(emb: DataFrame, k: Int, iters: Int)(
       implicit spark: SparkSession): DataFrame = {
-    var cents: Map[Int, Array[Float]] = emb.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .collect()
-      .map(r => r.getInt(0) -> normQuant(r.getSeq[Float](1).toArray))
-      .toMap
-    (0 until iters).foreach { _ =>
-      val assigned = Ann.assignToCentroids(emb, centsDf(cents))
-      val sums = assigned
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("v").cast("double")).as("s"))
-        .collect()
-      val byCluster = sums.groupBy(_.getInt(0))
-      cents = cents.map { case (c, old) =>
-        c -> byCluster.get(c).map { rows =>
-          val dim = rows.map(_.getInt(1)).max + 1
-          val mean = new Array[Float](dim)
-          rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2).toFloat)
-          normQuant(mean)
-        }.getOrElse(old) // empty cluster: keep the previous centroid
+    // one materialization for init + every Lloyd pass (the loop would
+    // otherwise rescan the source per iteration)
+    val cached = emb.persist()
+    try {
+      // init: the k SMALLEST vec_ids (distributed TakeOrdered — correct
+      // for any id space, not just dense-from-0), renumbered 0..k-1
+      var cents: Map[Int, Array[Float]] = cached
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(k)
+        .collect().zipWithIndex
+        .map { case (r, i) => i -> normQuant(r.getSeq[Float](1).toArray) }
+        .toMap
+      require(cents.size == k, s"need at least $k vectors to train $k centroids")
+      (0 until iters).foreach { _ =>
+        val assigned = Ann.assignToCentroids(cached, centsDf(cents))
+        // SPHERICAL update: sum of UNIT members (raw sums would let a
+        // large-norm outlier drag the centroid and break the inertia
+        // monotonicity the spec asserts), then normalize + quantize
+        val sums = assigned
+          .withColumn("__nrm", Ann.normD(col("embedding")))
+          .select(col("cluster"), col("__nrm"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(sum(col("v").cast("double") / col("__nrm")).as("s"))
+          .collect()
+        val byCluster = sums.groupBy(_.getInt(0))
+        cents = cents.map { case (c, old) =>
+          c -> byCluster.get(c).map { rows =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val unitSum = new Array[Float](dim)
+            rows.foreach(r => unitSum(r.getInt(1)) = r.getDouble(2).toFloat)
+            normQuant(unitSum)
+          }.getOrElse(old) // empty cluster: keep the previous centroid
+        }
       }
-    }
-    centsDf(cents)
+      centsDf(cents)
+    } finally cached.unpersist()
   }
 
   /** IVF query over Lloyd-trained centroids (vs [[Ann.ivfTopK]]'s

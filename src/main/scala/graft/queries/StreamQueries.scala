@@ -27,6 +27,11 @@ object StreamQueries {
   /** Map the driver's events table onto the turns schema: user_id is the
     * conversation key, event_id the per-key order (events are generated in
     * ts order, so max event_id == latest ts — same tie-break as the fold).
+    * The int cast is the Turn model's contract (input_hint:
+    * `turn_idx:int32` — a conversation-LOCAL index, which fits int32 even
+    * at 10^12 total turns); it assumes the fixture's event_id stays below
+    * 2^31 — a global-int64 id source must be re-indexed per conversation
+    * before this mapping, or the cast truncates.
     */
   private[queries] def eventsAsTurns(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(

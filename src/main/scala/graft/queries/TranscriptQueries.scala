@@ -121,17 +121,20 @@ object TranscriptQueries {
         floor(col("stream_off") / budget).as("chunk_id"))
   }
 
-  val packChunksSql: String =
-    """WITH s AS (
+  /** Oracle SQL parameterized like the query (a hardcoded-constant val
+    * would silently go stale against non-default packChunks calls).
+    */
+  def packChunksSql(nShards: Int = 8, budget: Long = 4096L): String =
+    s"""WITH s AS (
          SELECT doc_id, n_chars,
-                CAST(((doc_id % 8) + 8) % 8 AS INT) AS shard
+                CAST(((doc_id % $nShards) + $nShards) % $nShards AS INT) AS shard
          FROM documents)
        SELECT doc_id, shard,
          CAST(COALESCE(sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            AS stream_off,
          CAST(floor(COALESCE(sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $budget) AS BIGINT)
            AS chunk_id
        FROM s"""
 
