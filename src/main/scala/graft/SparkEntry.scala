@@ -25,25 +25,44 @@ object SparkEntry {
     * candidates → verified pairs → connected components → filter.
     * Shared by dedup_filtered and corpus_build.
     */
+  // ONE set of corpus-property parameters for the whole dedup pipeline —
+  // they must stay in lockstep with the oracle SQLs, so they live here
+  // and nowhere else (three hand-copies had already crept in).
+  private val DedupMaxDocId = 300
+  private val DedupNumHashes = 64
+  private val DedupRowsPerBand = 2
+
   private val dedupCache =
     scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
 
-  private def dedupFilteredDocs(s: SparkSession, d: String): DataFrame =
+  private def dedupDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < DedupMaxDocId)
+
+  /** LSH candidates verified by exact Jaccard — the pair set every dedup
+    * exhibit builds on (dedup_minhash, dedup_clusters, dedup_filtered,
+    * corpus_build), computed and cached ONCE per (session, dir).
+    */
+  private def verifiedNearDupPairs(s: SparkSession, d: String): DataFrame =
     dedupCache.synchronized {
-      dedupCache.getOrElseUpdate((s, d), dedupFilteredDocsUncached(s, d).cache())
+      dedupCache.getOrElseUpdate((s, d), {
+        val cands = graft.dedup.Dedup.minhashCandidates(
+          dedupDocs(s, d), "doc_id", "text",
+          numHashes = DedupNumHashes, rowsPerBand = DedupRowsPerBand)
+        TextQueries.ngramJaccard(s, d)
+          .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+          .cache()
+      })
     }
 
-  private def dedupFilteredDocsUncached(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
-    val cands = graft.dedup.Dedup.minhashCandidates(
-      docs, "doc_id", "text", numHashes = 64, rowsPerBand = 2)
-    val truePairs = TextQueries.ngramJaccard(s, d)
-      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+  private def dedupClusters(s: SparkSession, d: String): DataFrame =
     graft.dedup.ConnectedComponents.clusters(
-      docs.select("doc_id"), "doc_id", truePairs, "doc_a", "doc_b")
+      dedupDocs(s, d).select("doc_id"), "doc_id",
+      verifiedNearDupPairs(s, d), "doc_a", "doc_b")
+
+  private def dedupFilteredDocs(s: SparkSession, d: String): DataFrame =
+    dedupClusters(s, d)
       .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"))
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // znap core operators (SURVEY.md §2.1)
@@ -167,7 +186,9 @@ object SparkEntry {
     // available tables in the dataset directory (rows-only).
     "q2_snapshot_list" -> ((s, d) => {
       import org.apache.spark.sql.functions.lit
-      val names = new java.io.File(d).listFiles()
+      val entries = Option(new java.io.File(d).listFiles()).getOrElse(
+        throw new IllegalArgumentException(s"no such dataset directory: $d"))
+      val names = entries
         .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet"))
         .sorted.toSeq
       import s.implicits._
@@ -212,29 +233,15 @@ object SparkEntry {
     // fixtures. A red row on a NEW fixture means the data's similarity
     // structure moved past the banding parameters (b=32, r=2 ⇒ ~50%
     // threshold), not that the engine regressed — triage accordingly.
-    "dedup_minhash" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
-      val cands = graft.dedup.Dedup.minhashCandidates(
-        docs, "doc_id", "text", numHashes = 64, rowsPerBand = 2)
-      TextQueries.ngramJaccard(s, d)
-        .join(cands, Seq("doc_a", "doc_b"), "left_semi")
-        .select(col("doc_a"), col("doc_b"))
-    }),
+    "dedup_minhash" -> ((s, d) =>
+      verifiedNearDupPairs(s, d).select(col("doc_a"), col("doc_b"))),
     // Duplicate CLASSES from the candidate pairs: distributed connected
     // components (large-star/small-star) over the verified near-dup pair
     // graph, one (doc_id, cluster_id=min of class) row per document —
     // the clustering stage the hot-bucket guard's star emission relies
     // on. Oracled against a DuckDB recursive-CTE transitive closure of
     // the same exact-Jaccard pair set.
-    "dedup_clusters" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
-      val cands = graft.dedup.Dedup.minhashCandidates(
-        docs, "doc_id", "text", numHashes = 64, rowsPerBand = 2)
-      val truePairs = TextQueries.ngramJaccard(s, d)
-        .join(cands, Seq("doc_a", "doc_b"), "left_semi")
-      graft.dedup.ConnectedComponents.clusters(
-        docs.select("doc_id"), "doc_id", truePairs, "doc_a", "doc_b")
-    }),
+    "dedup_clusters" -> (dedupClusters _),
     // SimHash near-dup candidates over the oracle-reproducible (md5-based)
     // token hash: chunk-LSH join + exact hamming filter. The oracle is the
     // brute-force all-pairs hamming≤3 SQL — equality machine-checks BOTH

@@ -42,6 +42,25 @@ object StreamQueries {
       lit("").as("tool"),
       col("ts"))
 
+  /** Drain a streaming query and ALWAYS stop it: a processAllAvailable
+    * failure (task error, full disk) must not leave a zombie query
+    * retrying its failed batch for the life of the session.
+    */
+  private def runAndStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try q.processAllAvailable() finally q.stop()
+
+  /** The s1 oracle's 6-column contract — every query that hash-compares a
+    * snapshot against the s1 SQL projects through HERE, so the contract
+    * lives in one place.
+    */
+  private def snapshotOracleView(df: DataFrame): DataFrame = df.select(
+    col("conv_id"),
+    col("last_turn_idx").cast("long").as("last_turn_idx"),
+    col("last_role"),
+    col("turn_count"),
+    unix_micros(col("first_ts")).as("first_ts_us"),
+    unix_micros(col("last_ts")).as("last_ts_us"))
+
   private val pipelineCache =
     mutable.Map[(SparkSession, String), (IcebergLikeTable, MetricsListener)]()
   private val fanoutCache =
@@ -69,8 +88,11 @@ object StreamQueries {
         try {
           // wide watermark: file arrival order is not ts order, nothing is late
           val q = Replay.fromCheckpoint(stream, table, s"$tmp/ckpt", watermark = "3650 days")
-          q.processAllAvailable()
-          q.stop()
+          runAndStop(q)
+          // progress events are delivered ASYNC on the listener bus — drain
+          // it before detaching, or the last batch's metrics are lost
+          // nondeterministically (same guard Bench/ScalingBench use)
+          org.apache.spark.sql.graftshim.Shim.waitListenerBus(s.sparkContext)
         } finally s.streams.removeListener(metrics)
         (table, metrics)
       })
@@ -82,13 +104,7 @@ object StreamQueries {
 
   /** S1+A1+O1: streaming snapshot, DuckDB-oracled. */
   def s1StreamSnapshot(s: SparkSession, d: String): DataFrame =
-    runPipeline(s, d)._1.read().select(
-      col("conv_id"),
-      col("last_turn_idx").cast("long").as("last_turn_idx"),
-      col("last_role"),
-      col("turn_count"),
-      unix_micros(col("first_ts")).as("first_ts_us"),
-      unix_micros(col("last_ts")).as("last_ts_us"))
+    snapshotOracleView(runPipeline(s, d)._1.read())
 
   val s1StreamSnapshotSql: String =
     """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
@@ -144,14 +160,9 @@ object StreamQueries {
     */
   def aggTypedFold(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.snapshot.SnapshotFold.typedSnapshots(eventsAsTurns(s, d).as[Turn])
-      .toDF().select(
-        col("conv_id"),
-        col("last_turn_idx").cast("long").as("last_turn_idx"),
-        col("last_role"),
-        col("turn_count"),
-        unix_micros(col("first_ts")).as("first_ts_us"),
-        unix_micros(col("last_ts")).as("last_ts_us"))
+    snapshotOracleView(
+      graft.snapshot.SnapshotFold.typedSnapshots(eventsAsTurns(s, d).as[Turn])
+        .toDF())
   }
 
   /** Incremental (CDC) read exhibit: two commits — the fold of the first
@@ -192,13 +203,7 @@ object StreamQueries {
 
   def cdcRead(s: SparkSession, d: String): DataFrame = {
     val table = cdcSource(s, d)._1
-    table.readChangesSince(0L).select(
-      col("conv_id"),
-      col("last_turn_idx").cast("long").as("last_turn_idx"),
-      col("last_role"),
-      col("turn_count"),
-      unix_micros(col("first_ts")).as("first_ts_us"),
-      unix_micros(col("last_ts")).as("last_ts_us"))
+    snapshotOracleView(table.readChangesSince(0L))
   }
 
   val cdcReadSql: String =
@@ -230,13 +235,7 @@ object StreamQueries {
     val (src, tmp) = cdcSource(s, d)
     val dst = new IcebergLikeTable(s"$tmp/dst", 8)
     graft.replay.ChangeFeed.syncTo(src, dst, s"$tmp/ckpt/pos")
-    dst.read().select(
-      col("conv_id"),
-      col("last_turn_idx").cast("long").as("last_turn_idx"),
-      col("last_role"),
-      col("turn_count"),
-      unix_micros(col("first_ts")).as("first_ts_us"),
-      unix_micros(col("last_ts")).as("last_ts_us"))
+    snapshotOracleView(dst.read())
   }
 
   /** Per-conversation latest-k turns via the bounded-buffer Aggregator
@@ -316,8 +315,7 @@ object StreamQueries {
           .option("checkpointLocation", s"$tmp/ckpt")
           .foreachBatch(graft.snapshot.SnapshotTtl.sink(table) _)
           .start()
-        q.processAllAvailable()
-        q.stop()
+        runAndStop(q)
         table
       })
     }
@@ -327,13 +325,7 @@ object StreamQueries {
     * evictions and re-arrivals included.
     */
   def s1TtlSnapshot(s: SparkSession, d: String): DataFrame =
-    graft.snapshot.SnapshotTtl.readAdditive(runTtlPipeline(s, d)).select(
-      col("conv_id"),
-      col("last_turn_idx").cast("long").as("last_turn_idx"),
-      col("last_role"),
-      col("turn_count"),
-      unix_micros(col("first_ts")).as("first_ts_us"),
-      unix_micros(col("last_ts")).as("last_ts_us"))
+    snapshotOracleView(graft.snapshot.SnapshotTtl.readAdditive(runTtlPipeline(s, d)))
 
   /** Stamp ascending mod-times onto `inDir`'s parquet files in name order
     * (FileStreamSource orders new files by (modification time, path); all
@@ -342,15 +334,17 @@ object StreamQueries {
     * ranges). Returns the stamped file set. `from` continues a previous
     * stamping so later writes into the same dir arrive strictly after.
     */
+  private val StampBaseMs = 1000000000000L
+  private def stampAt(p: java.nio.file.Path, idx: Int): Unit =
+    Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(StampBaseMs + idx * 60000L))
+
   private def stampAscending(inDir: String, from: Int = 0): Set[java.nio.file.Path] = {
     val parts = Files.list(java.nio.file.Paths.get(inDir))
     try {
       val ps = parts.iterator().asScala.toSeq
         .filter(_.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
-      ps.zipWithIndex.foreach { case (p, i) =>
-        Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + (from + i) * 60000L))
-      }
+      ps.zipWithIndex.foreach { case (p, i) => stampAt(p, from + i) }
       ps.toSet
     } finally parts.close()
   }
@@ -369,8 +363,9 @@ object StreamQueries {
     val fresh = try ls.iterator().asScala.toSeq
       .filter(p => p.toString.endsWith(".parquet") && !stamped.contains(p))
     finally ls.close()
-    fresh.foreach(p => Files.setLastModifiedTime(p,
-      java.nio.file.attribute.FileTime.fromMillis(1000000000000L + 1000L * 60000L)))
+    // continue the SAME index scheme (stamped files used 0..n-1): the
+    // sentinel lands strictly after them whatever their count
+    fresh.zipWithIndex.foreach { case (p, i) => stampAt(p, stamped.size + i) }
   }
 
   // ---- streaming windowed aggregation (append mode, watermark-closed) --
@@ -400,11 +395,8 @@ object StreamQueries {
         appendSentinelLast(inDir, stamped,
           Seq((new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000), 0.0))
             .toDF("ts", "value"))
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("ts",
-            org.apache.spark.sql.types.TimestampType),
-          org.apache.spark.sql.types.StructField("value",
-            org.apache.spark.sql.types.DoubleType)))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "ts timestamp, value double")
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val outDir = s"$tmp/out"
@@ -419,8 +411,7 @@ object StreamQueries {
           .option("checkpointLocation", s"$tmp/ckpt")
           .format("parquet").option("path", outDir)
           .start()
-        q.processAllAvailable()
-        q.stop()
+        runAndStop(q)
         outDir
       })
     }
@@ -463,11 +454,8 @@ object StreamQueries {
         appendSentinelLast(inDir, stamped,
           Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000)))
             .toDF("user_id", "ts"))
-        val schema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("user_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("ts",
-            org.apache.spark.sql.types.TimestampType)))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id bigint, ts timestamp")
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val outDir = s"$tmp/out"
@@ -482,8 +470,7 @@ object StreamQueries {
           .option("checkpointLocation", s"$tmp/ckpt")
           .format("parquet").option("path", outDir)
           .start()
-        q.processAllAvailable()
-        q.stop()
+        runAndStop(q)
         outDir
       })
     }
@@ -530,8 +517,7 @@ object StreamQueries {
             ()
           }
           .start()
-        q.processAllAvailable()
-        q.stop()
+        runAndStop(q)
         table
       })
     }
