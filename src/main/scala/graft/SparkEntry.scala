@@ -102,6 +102,7 @@ object SparkEntry {
     "assemble_convs" -> (TranscriptQueries.assembleConvs _),
     "pair_extract" -> (TranscriptQueries.pairExtract _),
     "sessionize" -> (TranscriptQueries.sessionize _),
+    "context_windows" -> ((s, d) => TranscriptQueries.contextWindows(s, d)),
     "pack_chunks" -> ((s, d) => TranscriptQueries.packChunks(s, d)),
     "dataset_split" -> (TranscriptQueries.datasetSplit _),
     "topk_per_key_native" -> (StreamQueries.topkPerKeyNative _),
@@ -295,6 +296,7 @@ object SparkEntry {
     "assemble_convs" -> TranscriptQueries.assembleConvsSql,
     "pair_extract" -> TranscriptQueries.pairExtractSql,
     "sessionize" -> TranscriptQueries.sessionizeSql,
+    "context_windows" -> TranscriptQueries.contextWindowsSql,
     "pack_chunks" -> TranscriptQueries.packChunksSql(),
     "dataset_split" -> TranscriptQueries.datasetSplitSql,
     "topk_per_key_native" -> StreamQueries.topkPerKeySql,

@@ -64,6 +64,28 @@ object TranscriptQueries {
       .select(col("conv_id"), col("doc"), col("n_turns"),
         length(col("doc")).cast("long").as("n_chars"))
 
+  /** Sliding context windows (next-turn-prediction samples): every turn
+    * paired with the concatenation of its previous k−1 turns — ONE keyed
+    * window pass with a bounded ROWS frame, so per-row state is O(k)
+    * regardless of conversation length (contrast with assembling whole
+    * conversations). The unit-separator join makes the value a plain
+    * string both engines hash identically.
+    */
+  def contextWindows(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+      .rowsBetween(-(k - 1), 0)
+    StreamQueries.eventsAsTurns(s, d)
+      .select(col("conv_id"), col("turn_idx").cast("long").as("turn_idx"),
+        concat_ws("\u001f", collect_list(col("text")).over(w)).as("context"))
+  }
+
+  val contextWindowsSql: String =
+    """SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id AS turn_idx,
+       string_agg(props, chr(31)) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS context
+       FROM events"""
+
   /** Deterministic train/val/test split: assignment from the first two
     * hex chars of md5(doc_id) against fixed thresholds (≈90/5/5) — pure
     * per-row projection (no shuffle), reproducible across runs, engines,
