@@ -257,6 +257,9 @@ object SparkEntry {
       Tables.embeddings(s, d), queryId = 0L, k = 10, bands = 4, planesPerBand = 4)),
     "emb_neardup" -> ((s, d) => graft.ann.Ann.nearDupPairs(
       Tables.embeddings(s, d), maxId = 300L, minCos = 0.4)),
+    // int8 embedding quantization: narrow per-row, bit-exact double oracle
+    "emb_quantize" -> ((s, d) => graft.ann.Ann.quantizeInt8(
+      Tables.embeddings(s, d))),
     // multimodal plumbing (stubbed codec, real schema/partitioning)
     "mm_decode" -> ((s, d) => graft.multimodal.Multimodal.decodeDocuments(s, d)
       .select(col("doc_id"), col("media_type"),
@@ -370,6 +373,7 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> graft.dedup.Dedup.simhashCandidatesOracleSql,
     "emb_neardup" -> embNearDupSql,
+    "emb_quantize" -> graft.ann.Ann.quantizeInt8Sql,
     "mm_decode" -> mmDecodeSql,
     "mm_frames" -> mmFramesSql,
     "mm_resize" -> mmResizeSql,

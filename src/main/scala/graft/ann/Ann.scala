@@ -242,6 +242,34 @@ object Ann {
          FROM scored)
        WHERE rk <= $k"""
 
+  /** Int8 embedding quantization (vector compression for storage/serving):
+    * per-vector absmax scale, q = floor(x/scale·127) — 4× smaller at rest.
+    * Entirely narrow (array_max/transform/posexplode per row, NO shuffle);
+    * all math in doubles so the DuckDB oracle reproduces it bit-exactly
+    * (same determinism recipe as the cosine oracles). Zero vectors are
+    * excluded on both sides (scale 0 has no quantization).
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("scale", array_max(transform(col("emb"), x => abs(x))))
+      .filter(col("scale") > 0d)
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("emb")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("scale"), col("pos").cast("long").as("pos"),
+        floor(col("v") / col("scale") * 127d).as("q"))
+
+  val quantizeInt8Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+       s AS (SELECT vec_id, emb,
+                    list_max(list_transform(emb, x -> abs(x))) AS scale
+             FROM e)
+       SELECT vec_id, scale,
+              CAST(generate_subscripts(emb, 1) - 1 AS BIGINT) AS pos,
+              CAST(floor(unnest(emb) / scale * 127) AS BIGINT) AS q
+       FROM s WHERE scale > 0"""
+
   /** Embedding-cosine near-duplicate pairs within an id range: exact
     * pairwise scoring (bounded candidate set; the LSH bucket join is the
     * 100-TB candidate generator).
