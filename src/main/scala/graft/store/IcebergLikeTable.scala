@@ -46,6 +46,46 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
   private val manifestPath: Path = Paths.get(root, "manifest.json")
   Files.createDirectories(Paths.get(root, "data"))
 
+  // ---- commit lock ---------------------------------------------------
+  /** Exclusive commit lock (O_EXCL file create — atomic on POSIX): held
+    * around every manifest mutation's read-check-rename, so the
+    * optimistic-concurrency check in [[commitAndGc]] is a genuine
+    * compare-and-swap, not detection with a residual window. This is the
+    * local analog of the catalog CAS a real deployment delegates to
+    * (Iceberg: the catalog's atomic swap; znap: DynamoDB conditional
+    * writes, reference persistence/dynamo/DynamoDBEventsWriter.scala:25-53).
+    * Data-file writes stay OUTSIDE the lock — only the metadata swap
+    * serializes, so lock hold time is O(manifest), never O(batch).
+    *
+    * A lock older than [[LockStaleMs]] is presumed orphaned by a crashed
+    * holder and broken; acquisition gives up loudly after [[LockWaitMs]].
+    */
+  private val lockPath: Path = Paths.get(root, "commit.lock")
+  private val LockWaitMs = 60000L
+  private val LockStaleMs = 60000L
+
+  private def withCommitLock[A](body: => A): A = {
+    val deadline = System.currentTimeMillis() + LockWaitMs
+    var held = false
+    while (!held) {
+      try { Files.createFile(lockPath); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(lockPath).toMillis
+            if (age > LockStaleMs) Files.deleteIfExists(lockPath)
+          } catch { case _: java.io.IOException => () } // holder released it
+          if (System.currentTimeMillis() > deadline)
+            throw new java.util.ConcurrentModificationException(
+              s"commit lock $lockPath held for > ${LockWaitMs}ms — " +
+                "another writer is stuck or the lock is orphaned")
+          Thread.sleep(5)
+      }
+    }
+    try body finally Files.deleteIfExists(lockPath)
+  }
+
   // ---- manifest ------------------------------------------------------
   /** lastBatchId = -1 means "empty table". `buckets` are the compacted
     * base files; `deltas` the per-bucket ordered delta files appended
@@ -96,6 +136,15 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
   def readManifest(): Manifest =
     if (!Files.exists(manifestPath)) Manifest(-1L, Map.empty, Map.empty, Nil, Nil)
     else parseManifest(Files.readString(manifestPath))
+
+  /** Parse a (possibly concurrently-expired) versioned manifest: a commit
+    * landing between the caller's listing and this read may have GC'd the
+    * file — an expired version's uniquely-referenced files are
+    * legitimately collectable, so "gone" safely reads as "no references".
+    */
+  private def parseManifestIfExists(p: Path): Option[Manifest] =
+    try { if (Files.exists(p)) Some(parseManifest(Files.readString(p))) else None }
+    catch { case _: java.nio.file.NoSuchFileException => None }
 
   private def parseManifest(s: String): Manifest = {
     // format (one entry per line, written by renderManifest):
@@ -234,11 +283,12 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     */
   private def retainedManifest(batchId: Long): Manifest = {
     val vPath = Paths.get(root, s"manifest-v$batchId.json")
-    if (!Files.exists(vPath) || batchId > readManifest().lastBatchId)
-      throw new IllegalArgumentException(
-        s"no committed retained manifest for batch $batchId " +
-          s"(retained: ${manifestVersions().mkString(",")})")
-    parseManifest(Files.readString(vPath))
+    val parsed =
+      if (batchId > readManifest().lastBatchId) None
+      else parseManifestIfExists(vPath)
+    parsed.getOrElse(throw new IllegalArgumentException(
+      s"no committed retained manifest for batch $batchId " +
+        s"(retained: ${manifestVersions().mkString(",")})"))
   }
 
   /** Snapshot read of a manifest: schema-stable empty frame, clean-base
@@ -674,20 +724,26 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * files, which no manifest ever referenced; without this they'd be
     * invisible to the tombstone log and leak.
     */
-  private def commitAndGc(prev: Manifest, next0: Manifest,
+  private[store] def commitAndGc(prev: Manifest, next0: Manifest,
       writtenThisCommit: Set[String] = Set.empty,
-      writeVersioned: Boolean = true): Unit = {
-    // Optimistic-concurrency check: the mutation was computed from `prev`;
+      writeVersioned: Boolean = true): Unit = withCommitLock {
+    // Optimistic-concurrency CAS: the mutation was computed from `prev`;
     // if another process committed meanwhile (an out-of-band Maintain
     // compact/rebucket racing the streaming writer), blindly renaming over
-    // its manifest would silently revert a committed batch. Conflict
-    // DETECTION, not serialization — the residual window is the
-    // check-to-rename microseconds (a real object-store deployment does
-    // this compare-and-swap in the catalog); the losing operation throws
-    // and is safe to re-run against the new state.
+    // its manifest would silently revert a committed batch. The check runs
+    // UNDER the commit lock, so check-to-rename is atomic — a losing
+    // operation always throws and is safe to re-run against the new state.
+    // Metadata-only commits are conflicts too: a dropColumn changes
+    // neither lastBatchId nor the file set, but committing a manifest
+    // computed pre-drop would resurrect the dropped name (un-tombstoning
+    // the very hazard the tombstone list prevents) — so schema, dropped
+    // columns, and bucket count all participate in the comparison.
     val disk = readManifest()
     if (disk.lastBatchId != prev.lastBatchId ||
-        disk.dataFiles.toSet != prev.dataFiles.toSet)
+        disk.dataFiles.toSet != prev.dataFiles.toSet ||
+        disk.tableSchema != prev.tableSchema ||
+        disk.droppedColumns != prev.droppedColumns ||
+        disk.bucketCount != prev.bucketCount)
       throw new java.util.ConcurrentModificationException(
         s"manifest advanced during this operation (was batch ${prev.lastBatchId}, " +
           s"now ${disk.lastBatchId}) — re-run against the current state")
@@ -704,8 +760,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val retainedLives: Set[String] = keep
       .filter(v => v != next0.lastBatchId)
       .flatMap { v =>
-        val p = Paths.get(root, s"manifest-v$v.json")
-        if (Files.exists(p)) parseManifest(Files.readString(p)).dataFiles else Nil
+        parseManifestIfExists(Paths.get(root, s"manifest-v$v.json"))
+          .map(_.dataFiles).getOrElse(Nil)
       }
     val deletable = tombstones
       .filterNot(f => newLive.contains(f) || retainedLives.contains(f))
@@ -743,8 +799,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val versions = manifestVersions()
     val expired = versions.dropRight(retainManifests)
     expired.foreach(v => Files.deleteIfExists(Paths.get(root, s"manifest-v$v.json")))
-    val retained = versions.takeRight(retainManifests).map(v =>
-      parseManifest(Files.readString(Paths.get(root, s"manifest-v$v.json"))))
+    val retained = versions.takeRight(retainManifests).flatMap(v =>
+      parseManifestIfExists(Paths.get(root, s"manifest-v$v.json")))
     val live: Set[Path] =
       (m.dataFiles ++ retained.flatMap(_.dataFiles))
         .map(f => Paths.get(root, f).toAbsolutePath.normalize).toSet
@@ -765,18 +821,35 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
         }
       } finally walk.close()
     }
-    val rootLs = Files.list(Paths.get(root))
-    try rootLs.iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("manifest.tmp.") || n.startsWith("manifest.vtmp.") ||
-          (n.startsWith("manifest-v") && n.endsWith(".json") &&
-            n.stripPrefix("manifest-v").stripSuffix(".json").toLong > m.lastBatchId)
-      }
-      .toSeq.foreach(Files.delete)
-    finally rootLs.close()
-    val keptRemoved = m.removed.filter(f => Files.exists(Paths.get(root, f)))
-    if (keptRemoved != m.removed) commitManifest(m.copy(removed = keptRemoved))
+    // Tail mutations run UNDER the commit lock against a FRESH manifest
+    // read — the walk above can take minutes on a big table, and a merge
+    // landing mid-vacuum must neither have its versioned manifest swept
+    // as an "uncommitted plant" (its id exceeds the STALE lastBatchId
+    // read at entry) nor be reverted by re-committing the entry-time
+    // manifest snapshot (which bypassed commitAndGc's CAS and silently
+    // undid the batch — the round-3 data-loss finding). Stranded tmp /
+    // vtmp files additionally respect the grace window: a well-behaved
+    // writer's in-flight temp is always younger than it.
+    withCommitLock {
+      val cur = readManifest()
+      val rootLs = Files.list(Paths.get(root))
+      try rootLs.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          val stranded =
+            n.startsWith("manifest.tmp.") || n.startsWith("manifest.vtmp.") ||
+              (n.startsWith("manifest-v") && n.endsWith(".json") &&
+                n.stripPrefix("manifest-v").stripSuffix(".json").toLong > cur.lastBatchId)
+          stranded && (graceMs <= 0L ||
+            Files.getLastModifiedTime(p).toMillis < cutoff)
+        }
+        .toSeq.foreach(Files.delete)
+      finally rootLs.close()
+      // Tombstone-log trim of the CURRENT manifest only — never the
+      // entry-time snapshot: we only drop entries whose files are gone.
+      val keptRemoved = cur.removed.filter(f => Files.exists(Paths.get(root, f)))
+      if (keptRemoved != cur.removed) commitManifest(cur.copy(removed = keptRemoved))
+    }
   }
 
   /** Live file count by kind — compaction/vacuum observability for tests. */
