@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // latest_by/bounded_topk aggregate via ObjectHashAggregate; the
+      // default sort-based fallback (4096 groups/partition) would demote
+      // the snapshot folds to sort-based merging at any realistic key count
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

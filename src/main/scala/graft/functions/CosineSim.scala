@@ -84,6 +84,17 @@ object GraftFunctions {
     Shim.column(BoundedTopK(k, Shim.expression(ord), Shim.expression(payload))
       .toAggregateExpression())
 
+  /** Native last-writer-wins (functions/LatestBy.scala): the payload
+    * struct of the row with the greatest (ord1, ord2) — ObjectHashAggregate
+    * where `max_by(struct, struct)` plans SortAggregate.
+    */
+  def latest_by(payload: Column, ord1: Column, ord2: Column): Column =
+    Shim.column(LatestBy(Shim.expression(payload), Shim.expression(ord1),
+      Shim.expression(ord2)).toAggregateExpression())
+
+  def latest_by(payload: Column, ord: Column): Column =
+    latest_by(payload, ord, org.apache.spark.sql.functions.lit(0L))
+
   private[functions] def cosineSimBuilder(
       args: Seq[Expression]): Expression = {
     require(args.length == 2, s"cosine_sim takes 2 arguments, got ${args.length}")
@@ -99,6 +110,14 @@ object GraftFunctions {
         s"band_sig $what must be an integer literal, got $other")
     }
     BandSig(args(0), intArg(args(1), "bands"), intArg(args(2), "planesPerBand"))
+  }
+
+  private[functions] def latestByBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2 || args.length == 3,
+      s"latest_by takes (payload, ord1[, ord2]), got ${args.length} args")
+    val ord2 = if (args.length == 3) args(2)
+      else org.apache.spark.sql.catalyst.expressions.Literal(0L)
+    LatestBy(args(0), args(1), ord2)
   }
 
   private[functions] def boundedTopKBuilder(args: Seq[Expression]): Expression = {
@@ -122,6 +141,7 @@ object GraftFunctions {
     Shim.registerFunction(spark, "cosine_sim", cosineSimBuilder)
     Shim.registerFunction(spark, "band_sig", bandSigBuilder)
     Shim.registerFunction(spark, "bounded_topk", boundedTopKBuilder)
+    Shim.registerFunction(spark, "latest_by", latestByBuilder)
   }
 }
 
@@ -142,6 +162,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("bounded_topk"),
       new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_topk"),
       GraftFunctions.boundedTopKBuilder))
+    ext.injectFunction((FunctionIdentifier("latest_by"),
+      new ExpressionInfo(classOf[LatestBy].getName, "latest_by"),
+      GraftFunctions.latestByBuilder))
     // storage-aware point-lookup rewrite for GraftScan leaves (plans/GraftScan.scala)
     ext.injectOptimizerRule(_ => graft.plans.GraftBucketPrune)
   }

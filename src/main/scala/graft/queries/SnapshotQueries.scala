@@ -17,16 +17,18 @@ import org.apache.spark.sql.functions._
 object SnapshotQueries {
 
   /** A1 — last-writer-wins snapshot: latest event per key.
-    * One hash-agg with `max_by(struct(...), struct(ts, event_id))`;
-    * partial aggregation runs before the shuffle, so per-key data crossing
+    * One ObjectHashAggregate with the native
+    * `latest_by(struct(...), ts, event_id)` (functions/LatestBy.scala —
+    * the max_by(struct, struct) form planned SortAggregate); partial
+    * aggregation runs before the shuffle, so per-key data crossing
     * the wire is O(distinct keys), not O(rows)
     * (reference semantics: DynamoDBEventsWriter.scala:36-47).
     */
   def a1SnapshotLatest(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).groupBy(col("user_id")).agg(
-      max_by(
+      graft.functions.GraftFunctions.latest_by(
         struct(col("event_id"), col("event_type"), col("value"), col("ts")),
-        struct(col("ts"), col("event_id"))).as("last"))
+        col("ts"), col("event_id")).as("last"))
       .select(
         col("user_id"),
         col("last.event_id").as("last_event_id"),
@@ -49,8 +51,9 @@ object SnapshotQueries {
     */
   def a1SnapshotFold(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).groupBy(col("user_id")).agg(
-      max_by(struct(col("event_id"), col("event_type")),
-        struct(col("ts"), col("event_id"))).as("last"),
+      graft.functions.GraftFunctions.latest_by(
+        struct(col("event_id"), col("event_type")),
+        col("ts"), col("event_id")).as("last"),
       count(lit(1)).as("event_count"),
       min(unix_micros(col("ts"))).as("first_ts_us"),
       max(unix_micros(col("ts"))).as("last_ts_us"),
@@ -153,7 +156,8 @@ object SnapshotQueries {
     Tables.events(s, d)
       .filter(col("ts") <= lit("2024-01-15 00:00:00").cast("timestamp"))
       .groupBy(col("user_id")).agg(
-        max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("last_event_id"),
+        graft.functions.GraftFunctions.latest_by(struct(col("event_id")),
+          col("ts"), col("event_id")).getField("event_id").as("last_event_id"),
         count(lit(1)).as("event_count"))
 
   val replayToTsSql: String =
@@ -193,7 +197,8 @@ object SnapshotQueries {
     def target(tag: String, types: Seq[String]): DataFrame =
       src.filter(col("event_type").isin(types: _*))
         .groupBy(col("user_id")).agg(
-          max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("last_event_id"),
+          graft.functions.GraftFunctions.latest_by(struct(col("event_id")),
+            col("ts"), col("event_id")).getField("event_id").as("last_event_id"),
           count(lit(1)).as("n"))
         .select(lit(tag).as("target"), col("user_id"), col("last_event_id"), col("n"))
     target("commerce", Seq("purchase", "refund"))

@@ -57,14 +57,15 @@ object Salting {
     val salted = turns.withColumn("__salt",
       pmod(hash(col("conv_id"), col("turn_idx")), lit(salts)))
     val partial = salted.groupBy(col("conv_id"), col("__salt")).agg(
-      max_by(
+      graft.functions.GraftFunctions.latest_by(
         struct(col("turn_idx"), col("role"), col("tool"), col("text"), col("ts")),
-        struct(col("turn_idx"), col("ts"))).as("last"),
+        col("turn_idx"), col("ts")).as("last"),
       count(lit(1)).as("turn_count"),
       min(col("ts")).as("first_ts"),
       max(col("ts")).as("last_ts"))
     val base = partial.groupBy(col("conv_id")).agg(
-      max_by(col("last"), struct(col("last.turn_idx"), col("last.ts"))).as("last"),
+      graft.functions.GraftFunctions.latest_by(col("last"),
+        col("last.turn_idx"), col("last.ts")).as("last"),
       sum(col("turn_count")).as("turn_count"),
       min(col("first_ts")).as("first_ts"),
       max(col("last_ts")).as("last_ts"))

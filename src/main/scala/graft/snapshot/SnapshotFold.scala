@@ -168,9 +168,12 @@ object SnapshotFold {
         array_sort(collect_list(struct(col("tool"), col("cnt")))))
         .as("tool_counts"))
 
-  /** Untyped DataFrame form — whole-stage-codegen'd; the oracle shape.
-    * `max_by(struct(...), struct(turn_idx, ts))` = last-writer-wins with
-    * the deterministic (turn_idx, ts) tie-break. `includeToolCounts`
+  /** Untyped DataFrame form — the oracle shape. The native
+    * `latest_by(struct(...), turn_idx, ts)` = last-writer-wins with the
+    * deterministic (turn_idx, ts) tie-break, planned as
+    * ObjectHashAggregate with map-side partial combine (the earlier
+    * `max_by(struct, struct)` planned SortAggregate — round-3 finding;
+    * see functions/LatestBy.scala). `includeToolCounts`
     * additionally joins in [[toolCountsByKey]] (two extra conv_id-keyed
     * shuffles) so the untyped form covers EVERY ConvSnapshot field;
     * callers that don't need the histogram keep the single-shuffle plan.
@@ -178,9 +181,9 @@ object SnapshotFold {
   def batchSnapshots(turns: DataFrame,
       includeToolCounts: Boolean = false): DataFrame = {
     val base = turns.groupBy(col("conv_id")).agg(
-      max_by(
+      graft.functions.GraftFunctions.latest_by(
         struct(col("turn_idx"), col("role"), col("tool"), col("text")),
-        struct(col("turn_idx"), col("ts"))).as("last"),
+        col("turn_idx"), col("ts")).as("last"),
       count(lit(1)).as("turn_count"),
       min(col("ts")).as("first_ts"),
       max(col("ts")).as("last_ts"))

@@ -42,6 +42,34 @@ class PlanSpec extends SparkSpec {
       p.toLowerCase.contains("partial"), s"no partial aggregation:\n$p")
   }
 
+  test("A1 snapshot fold plans ObjectHashAggregate, not SortAggregate") {
+    // the round-3 finding: max_by(struct, struct) is a struct-buffer
+    // DeclarativeAggregate → HashAggregateExec refuses it → SortAggregate
+    // (sorts both sides of the shuffle). The native latest_by form must
+    // keep the fold in object-hash aggregation.
+    val p = planOf(SnapshotQueries.a1SnapshotLatest(spark, dir))
+    assert(p.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate:\n$p")
+    assert(!p.contains("SortAggregate"), s"SortAggregate on the fold:\n$p")
+  }
+
+  test("store read with outstanding deltas resolves via ObjectHashAggregate") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val t = new graft.store.IcebergLikeTable(tmpDir("planread") + "/t",
+      numBuckets = 2, maxDeltasPerBucket = 100, inlineCompaction = false,
+      emptySchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "conv_id string, n int"))
+    t.merge(Seq(("a", 1), ("b", 1)).toDF("conv_id", "n"), "conv_id", 0L)
+    t.merge(Seq(("a", 2)).toDF("conv_id", "n"), "conv_id", 1L)
+    assert(t.fileStats()._2 > 0, "test needs outstanding deltas")
+    val p = planOf(t.read())
+    assert(p.contains("ObjectHashAggregate"),
+      s"delta resolution should object-hash aggregate:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"SortAggregate on the store read path:\n$p")
+    assert(t.read().as[(String, Int)].collect().toMap === Map("a" -> 2, "b" -> 1))
+  }
+
   test("whole-stage codegen covers scan→filter→agg pipelines") {
     // q1Agg: declarative sums/counts stay in codegen'd HashAggregate.
     // (The max_by fold uses ObjectHashAggregate — partial-agg capable but

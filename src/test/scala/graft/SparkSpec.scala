@@ -22,6 +22,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
