@@ -131,6 +131,16 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => graft.ann.Ann.ivfTopK(
       Tables.embeddings(s, d), queryId = 0L, k = 10,
       numCentroids = 16, nProbe = 4)),
+    // IVF over Lloyd-TRAINED centroids, probed in full: exercises the
+    // whole k-means training + assignment + inverted-list pipeline in the
+    // oracle harness. Full probe makes the result exactly brute force (the
+    // IVF exactness guarantee), so the oracle is exact SQL; the
+    // nProbe < C pruning path is oracled by ann_ivf (literal centroids)
+    // and the partial-probe recall by KMeansSpec — DuckDB cannot re-run
+    // Lloyd's, so the trained row pins the training side instead.
+    "ann_ivf_trained" -> ((s, d) => graft.ann.KMeans.trainedIvfTopK(
+      Tables.embeddings(s, d), queryId = 0L, k = 10,
+      numCentroids = 8, iters = 2, nProbe = 8)(s)),
     // Point-in-time join: attribute each click to the user's most recent
     // view at-or-before it (null when none). One keyed shuffle + window —
     // oracled against DuckDB's NATIVE ASOF LEFT JOIN, so the oracle is an
@@ -315,6 +325,7 @@ object SparkEntry {
     "pivot_counts" -> RelationalQueries.pivotCountsSql,
     "ann_ivf" -> graft.ann.Ann.ivfTopKSql(queryId = 0L, k = 10,
       numCentroids = 16, nProbe = 4),
+    "ann_ivf_trained" -> annBruteforceSql, // full probe ≡ brute force (exact)
     "asof_join" -> asofJoinSql,
     "range_join" -> rangeJoinSql,
     "skew_join_salted" -> """

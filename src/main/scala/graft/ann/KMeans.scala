@@ -46,6 +46,11 @@ object KMeans {
         // monotonicity the spec asserts), then normalize + quantize
         val sums = assigned
           .withColumn("__nrm", Ann.normD(col("embedding")))
+          // zero-norm members contribute nothing (v/0 is Infinity in Spark
+          // double division, which would poison every dimension of the
+          // cluster's centroid with Inf/NaN) — mirrors quantizeInt8's
+          // scale > 0 guard
+          .filter(col("__nrm") > 0d)
           .select(col("cluster"), col("__nrm"),
             posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("cluster"), col("pos"))

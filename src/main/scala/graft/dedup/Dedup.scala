@@ -68,8 +68,14 @@ object Dedup {
     * wire) whose output is filtered to the hot buckets BEFORE a broadcast
     * join — degenerate buckets are rare by nature, so the broadcast is
     * tiny and the big banded side never shuffles for tagging. The star
-    * side's representative-payload join touches hot-bucket members only
-    * (normally zero rows).
+    * side — member rows AND representative payloads — is derived
+    * entirely from hot-tagged rows (a hot bucket's representative is by
+    * construction a member of that bucket, so its payload is present
+    * there): with zero hot buckets every star-side stage is empty and
+    * the healthy path's only extra cost is the stats aggregation.
+    * (The round-3 form built `reps` by dropDuplicates over ALL banded
+    * rows — a full extra shuffle of the signature set even when no hot
+    * bucket existed.)
     */
   private def guardedSelfPairs(rows: DataFrame, keyCols: Seq[String],
       payload: String, maxBucket: Int): DataFrame = {
@@ -84,12 +90,14 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col(s"a.$payload").as(pa), col(s"b.$payload").as(pb))
-    val hotMembers = tagged
-      .filter(col("__n").isNotNull && col("doc_id") =!= col("__rep"))
+    val hot = tagged.filter(col("__n").isNotNull)
+    val hotMembers = hot
+      .filter(col("doc_id") =!= col("__rep"))
       .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"),
         col(payload).as(pb))
       .dropDuplicates("doc_a", "doc_b")
-    val reps = rows
+    val reps = hot
+      .filter(col("doc_id") === col("__rep"))
       .select(col("doc_id").as("doc_a"), col(payload).as(pa))
       .dropDuplicates("doc_a")
     val starPairs = hotMembers.join(reps, "doc_a")

@@ -75,35 +75,47 @@ object GraftScan {
   * still enforces exact semantics, and residual non-key conjuncts are
   * untouched. Runs once per plan: after rewrite no [[GraftScan]] remains,
   * so the rule is a no-op at fixpoint.
+  *
+  * Snapshot consistency across leaves: the manifest is resolved ONCE per
+  * (table, optimizer invocation) via [[IcebergLikeTable.pin]], and every
+  * leaf of that table materializes from the same pin — a self-join (or a
+  * query over two tables) can no longer observe two different committed
+  * snapshots when a merge lands between per-leaf rebind calls.
   */
 object GraftBucketPrune extends Rule[LogicalPlan] with PredicateHelper {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case Filter(cond, g: GraftScan) =>
-      val keyAttr = g.output.find(_.name == g.table.keyCol)
-      // key = 'k', key IN ('a','b',...), and the optimizer's InSet form
-      // all prune; OptimizeIn may have run first, so both shapes appear.
-      val keys: Option[Seq[String]] = keyAttr.flatMap { a =>
-        splitConjunctivePredicates(cond).collectFirst {
-          case EqualTo(l: AttributeReference, Literal(v: UTF8String, StringType))
-              if l.semanticEquals(a) => Seq(v.toString)
-          case EqualTo(Literal(v: UTF8String, StringType), r: AttributeReference)
-              if r.semanticEquals(a) => Seq(v.toString)
-          case In(l: AttributeReference, vs)
-              if l.semanticEquals(a) &&
-                vs.forall(_.isInstanceOf[Literal]) &&
-                vs.forall(_.dataType == StringType) =>
-            vs.collect { case Literal(v: UTF8String, StringType) => v.toString }
-          case InSet(l: AttributeReference, vs) if l.semanticEquals(a) =>
-            vs.toSeq.collect { case v: UTF8String => v.toString }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val pins = scala.collection.mutable
+      .Map[IcebergLikeTable, IcebergLikeTable#PinnedView]()
+    def pinOf(t: IcebergLikeTable): IcebergLikeTable#PinnedView =
+      pins.getOrElseUpdate(t, t.pin())
+    plan.transformDown {
+      case Filter(cond, g: GraftScan) =>
+        val keyAttr = g.output.find(_.name == g.table.keyCol)
+        // key = 'k', key IN ('a','b',...), and the optimizer's InSet form
+        // all prune; OptimizeIn may have run first, so both shapes appear.
+        val keys: Option[Seq[String]] = keyAttr.flatMap { a =>
+          splitConjunctivePredicates(cond).collectFirst {
+            case EqualTo(l: AttributeReference, Literal(v: UTF8String, StringType))
+                if l.semanticEquals(a) => Seq(v.toString)
+            case EqualTo(Literal(v: UTF8String, StringType), r: AttributeReference)
+                if r.semanticEquals(a) => Seq(v.toString)
+            case In(l: AttributeReference, vs)
+                if l.semanticEquals(a) &&
+                  vs.forall(_.isInstanceOf[Literal]) &&
+                  vs.forall(_.dataType == StringType) =>
+              vs.collect { case Literal(v: UTF8String, StringType) => v.toString }
+            case InSet(l: AttributeReference, vs) if l.semanticEquals(a) =>
+              vs.toSeq.collect { case v: UTF8String => v.toString }
+          }
         }
-      }
-      val scan = keys match {
-        case Some(Seq(k)) => g.table.lookup(g.table.keyCol, k)
-        case Some(ks) if ks.nonEmpty => g.table.lookupMany(g.table.keyCol, ks)
-        case _ => g.table.read()
-      }
-      Filter(cond, rebind(g, scan))
-    case g: GraftScan => rebind(g, g.table.read())
+        val scan = keys match {
+          case Some(Seq(k)) => pinOf(g.table).lookup(g.table.keyCol, k)
+          case Some(ks) if ks.nonEmpty => pinOf(g.table).lookupMany(g.table.keyCol, ks)
+          case _ => pinOf(g.table).read()
+        }
+        Filter(cond, rebind(g, scan))
+      case g: GraftScan => rebind(g, pinOf(g.table).read())
+    }
   }
 
   /** Re-root `df`'s analyzed plan under the leaf's original attribute ids

@@ -361,6 +361,30 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     */
   def read(): DataFrame = scanResolved(readManifest())
 
+  /** A view pinned to ONE committed manifest: every read/lookup resolves
+    * against the same snapshot, however many are issued. This is what
+    * makes a multi-leaf query (self-join, two scans of one table) snapshot-
+    * consistent — [[graft.plans.GraftBucketPrune]] pins once per table per
+    * optimizer invocation and materializes ALL of that table's leaves from
+    * the pin, where per-leaf `readManifest()` calls could observe two
+    * different commits. Valid while the pinned version stays within the
+    * GC retention window (the same contract as time travel).
+    */
+  final class PinnedView private[store] (m: Manifest) {
+    def read(): DataFrame = scanResolved(m)
+    def lookup(c: String, key: String): DataFrame = {
+      require(c == keyCol, s"lookup key column '$c' != table key '$keyCol'")
+      lookupPrunedWith(m, Seq(key), col(c) === key)
+    }
+    def lookupMany(c: String, keys: Seq[String]): DataFrame = {
+      require(c == keyCol, s"lookup key column '$c' != table key '$keyCol'")
+      lookupPrunedWith(m, keys, col(c).isin(keys: _*))
+    }
+  }
+
+  /** Pin the current committed snapshot (see [[PinnedView]]). */
+  def pin(): PinnedView = new PinnedView(readManifest())
+
   /** Point lookup — prunes to the key's single bucket before scanning
     * (znap Q1: restapi/DynamoDBEntityReader.scala:38-73 consistent getItem).
     * The bucket is computed by evaluating Catalyst's own Murmur3Hash on
@@ -397,8 +421,11 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     ((h % nb) + nb) % nb
   }
 
-  private def lookupPruned(keys: Seq[String], pred: Column): DataFrame = {
-    val m = readManifest()
+  private def lookupPruned(keys: Seq[String], pred: Column): DataFrame =
+    lookupPrunedWith(readManifest(), keys, pred)
+
+  private def lookupPrunedWith(m: Manifest, keys: Seq[String],
+      pred: Column): DataFrame = {
     val nb = bucketsOf(m)
     val hit = keys.map(driverBucket(_, nb)).distinct.sorted
     val base = hit.flatMap(b => m.buckets.getOrElse(b, Nil))

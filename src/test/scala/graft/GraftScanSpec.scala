@@ -134,6 +134,43 @@ class GraftScanSpec extends SparkSpec {
     assert(agg.as[(Long, Long)].head() == ((1L, 99L)))
   }
 
+  test("a pinned view is immune to commits landing after the pin (snapshot consistency)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val t = mkTable()
+    val before = t.read().select("conv_id", "turn_count")
+      .as[(String, Int)].collect().toMap
+    val pin = t.pin()
+    // a commit lands "between two leaf rebinds" of one query
+    t.merge(Seq(("c7", -1, "ghost")).toDF("conv_id", "turn_count", "last_role"),
+      "conv_id", 2L)
+    // every read/lookup from the pin still observes the pre-commit snapshot
+    assert(pin.read().select("conv_id", "turn_count")
+      .as[(String, Int)].collect().toMap === before)
+    assert(pin.lookup("conv_id", "c7").select("turn_count")
+      .as[Int].collect().toSeq === Seq(99))
+    assert(pin.lookupMany("conv_id", Seq("c7", "c60")).select("turn_count")
+      .as[Int].collect().sorted.toSeq === Seq(5, 99))
+    // the live table sees the new commit
+    assert(t.lookup("conv_id", "c7").select("turn_count")
+      .as[Int].collect().toSeq === Seq(-1))
+  }
+
+  test("self-join through the SQL view is consistent (one pin serves both leaves)") {
+    GraftScan.install(spark)
+    val t = mkTable()
+    GraftScan.relation(spark, t).createOrReplaceTempView("graft_snap_self")
+    // both leaves materialize from one pinned manifest inside the rule —
+    // equal turn_count on the join key must therefore always hold, even
+    // for the keys batch 1 updated
+    val mismatches = spark.sql(
+      """SELECT a.conv_id FROM graft_snap_self a JOIN graft_snap_self b
+         USING (conv_id) WHERE a.turn_count <> b.turn_count""").count()
+    assert(mismatches === 0L)
+    assert(spark.sql(
+      """SELECT count(*) FROM graft_snap_self a JOIN graft_snap_self b
+         USING (conv_id)""").as[Long].head() === 200L)
+  }
+
   test("pruned and full plans agree for every key (superset guarantee)") {
     GraftScan.install(spark)
     val t = mkTable()

@@ -56,6 +56,22 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("a zero-norm embedding cannot poison centroids (no Inf/NaN)") {
+    // v/0 is Infinity under Spark double division — unguarded, one zero
+    // vector turns its cluster's centroid (and all downstream
+    // assignments) into NaN. The fit must simply ignore such members.
+    val withZero = emb.limit(64).select(col("vec_id"),
+      when(col("vec_id") === 5L,
+        expr("transform(embedding, x -> cast(0.0 as float))"))
+        .otherwise(col("embedding")).as("embedding"))
+    val cents = centArrays(KMeans.fit(withZero, 4, 2))
+    assert(cents.values.flatten.forall(v => !v.isNaN && !v.isInfinite),
+      s"poisoned centroids: $cents")
+    val clean = centArrays(KMeans.fit(
+      withZero.filter(col("vec_id") =!= 5L), 4, 2))
+    assert(cents.keySet === clean.keySet)
+  }
+
   test("trained IVF: full probe == brute force; partial probe recall reported") {
     val q = 42L
     val brute = Ann.bruteForceTopK(emb, q, 10)
