@@ -96,6 +96,9 @@ object SparkEntry {
     "cdc_read" -> (StreamQueries.cdcRead _),
     // replica built ONLY from the change feed == full snapshot (s1 oracle)
     "cdc_follow" -> (StreamQueries.cdcFollow _),
+    // the same replica through the readStream-able change-feed SOURCE
+    // (Structured Streaming over delta dirs, exactly-once MERGE sink)
+    "cdc_stream" -> (StreamQueries.cdcStream _),
     // streaming exact dedup: digest-keyed store == DISTINCT md5(text)
     "corpus_ingest" -> (StreamQueries.corpusIngest _),
     // training-sample construction over transcripts
@@ -305,6 +308,7 @@ object SparkEntry {
     "topk_per_key" -> StreamQueries.topkPerKeySql,
     "cdc_read" -> StreamQueries.cdcReadSql,
     "cdc_follow" -> StreamQueries.s1StreamSnapshotSql,
+    "cdc_stream" -> StreamQueries.s1StreamSnapshotSql, // replica == full snapshot
     "corpus_ingest" -> StreamQueries.corpusIngestSql,
     "assemble_convs" -> TranscriptQueries.assembleConvsSql,
     "pair_extract" -> TranscriptQueries.pairExtractSql,

@@ -238,6 +238,22 @@ object StreamQueries {
     snapshotOracleView(dst.read())
   }
 
+  /** The CONTINUOUS form of cdc_follow: a replica built through the
+    * readStream-able change-feed source (replay/ChangeStream — a real
+    * Structured Streaming file source over the store's delta directories,
+    * checkpointed + exactly-once MERGE sink). Drained with
+    * Trigger.AvailableNow here; the replica must equal the full snapshot,
+    * so it shares the s1 oracle.
+    */
+  def cdcStream(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val (src, tmp) = cdcSource(s, d)
+    val dst = new IcebergLikeTable(s"$tmp/dst_stream", 8)
+    val q = graft.replay.ChangeStream.replicate(src, dst, s"$tmp/ckpt_stream")
+    q.awaitTermination(600000)
+    snapshotOracleView(dst.read())
+  }
+
   /** Per-conversation latest-k turns via the bounded-buffer Aggregator
     * (functions/TopKPerKey.scala): ObjectHashAggregate with map-side
     * partial combine — ≤ k rows per key per partition cross the one
