@@ -73,6 +73,9 @@ object SparkEntry {
     "q1_point_lookup" -> (SnapshotQueries.q1PointLookup _),
     "d1_dump_keys" -> (SnapshotQueries.d1DumpKeys _),
     "replay_to_ts" -> (SnapshotQueries.replayToTs _),
+    // the same replay over the STORE: manifest per-file ts bounds skip
+    // out-of-range commits before any scan (readRange file pruning)
+    "replay_store_ts" -> (StreamQueries.replayStoreTs _),
     "g1_fanout" -> (SnapshotQueries.g1Fanout _),
     "g2_signals" -> (SnapshotQueries.g2Signals _),
     "a2_encode" -> (RelationalQueries.a2Encode _),
@@ -294,6 +297,8 @@ object SparkEntry {
     "q1_point_lookup" -> SnapshotQueries.q1PointLookupSql,
     "d1_dump_keys" -> SnapshotQueries.d1DumpKeysSql,
     "replay_to_ts" -> SnapshotQueries.replayToTsSql,
+    "replay_store_ts" -> SnapshotQueries.replayToTsSql, // same cutoff + contract
+
     "g1_fanout" -> SnapshotQueries.g1FanoutSql,
     "g2_signals" -> SnapshotQueries.g2SignalsSql,
     "a2_encode" -> RelationalQueries.a2EncodeSql,

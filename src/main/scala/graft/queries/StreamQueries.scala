@@ -254,6 +254,54 @@ object StreamQueries {
     snapshotOracleView(dst.read())
   }
 
+  /** Append-only event-log STORE with per-file ts_us bounds in the
+    * manifest (statsCol): 4 commits split by ts quartile, so each delta
+    * file carries a tight disjoint time range — the fixture for
+    * stats-pruned range reads. Cached per (session, dir).
+    */
+  private val tsLogCache = mutable.Map[(SparkSession, String), IcebergLikeTable]()
+
+  private def tsLogSource(s: SparkSession, d: String): IcebergLikeTable =
+    tsLogCache.synchronized {
+      tsLogCache.getOrElseUpdate((s, d), {
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val ev = Tables.events(s, d).select(
+          col("event_id").cast("string").as("evt_key"),
+          col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"))
+        val (lo, hi) = ev.agg(min(col("ts_us")), max(col("ts_us")))
+          .as[(Long, Long)].head()
+        val tmp = Files.createTempDirectory("graft-tslog-q").toString
+        val t = new IcebergLikeTable(s"$tmp/table", 8, keyCol = "evt_key",
+          emptySchema = ev.schema, inlineCompaction = false,
+          maxDeltasPerBucket = 1000, statsCol = Some("ts_us"))
+        val step = math.max((hi - lo) / 4 + 1, 1L)
+        (0 until 4).foreach { b =>
+          val from = lo + b * step
+          t.merge(ev.filter(col("ts_us") >= from && col("ts_us") < from + step),
+            "evt_key", b.toLong)
+        }
+        t
+      })
+    }
+
+  /** Replay-to-timestamp over the STORE (not raw parquet): the manifest's
+    * per-file ts_us bounds prune commits entirely outside the cutoff
+    * before any scan (store/IcebergLikeTable.readRange — the Iceberg
+    * min/max-skipping analog), then the usual latest_by fold. Shares
+    * replay_to_ts's oracle: same cutoff, same result contract.
+    */
+  def replayStoreTs(s: SparkSession, d: String): DataFrame = {
+    val cutoffUs = java.time.Instant.parse("2024-01-15T00:00:00Z")
+      .toEpochMilli * 1000L
+    tsLogSource(s, d).readRange(Long.MinValue, cutoffUs)
+      .groupBy(col("user_id")).agg(
+        graft.functions.GraftFunctions.latest_by(struct(col("event_id")),
+          col("ts"), col("event_id")).getField("event_id").as("last_event_id"),
+        count(lit(1)).as("event_count"))
+  }
+
   /** Per-conversation latest-k turns via the bounded-buffer Aggregator
     * (functions/TopKPerKey.scala): ObjectHashAggregate with map-side
     * partial combine — ≤ k rows per key per partition cross the one

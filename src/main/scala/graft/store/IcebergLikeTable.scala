@@ -36,11 +36,20 @@ import graft.model.Schemas
   * fMGWS fold emits exactly one updated snapshot per touched key), so
   * (key, __seq) is unique and last-writer-wins resolution is total.
   */
+/** `statsCol`: optional integral column whose per-file (min, max) bounds
+  * are recorded in the manifest at write time (parquet-footer read,
+  * driver-side, O(new files) per commit — the Iceberg column-stats
+  * analog) and used by [[IcebergLikeTable.readRange]] to SKIP files whose
+  * range cannot intersect a time/sequence-bounded read. Must be a
+  * top-level int/long column (e.g. `ts_us`); files without readable
+  * stats are never skipped, so correctness cannot depend on the footer.
+  */
 final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val keyCol: String = "conv_id", val maxDeltasPerBucket: Int = 8,
     val autoVacuum: Boolean = true, val emptySchema: StructType = Schemas.snapshot,
     val retainManifests: Int = 2, val inlineCompaction: Boolean = true,
-    val maxDeltaBytesPerBucket: Long = Long.MaxValue)(
+    val maxDeltaBytesPerBucket: Long = Long.MaxValue,
+    val statsCol: Option[String] = None)(
     implicit spark: SparkSession) {
 
   private val manifestPath: Path = Paths.get(root, "manifest.json")
@@ -115,12 +124,16 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * would silently resurrect old file values — the tombstone list makes
     * that a loud rejection instead.
     */
+  /** `fileStats` maps a live data file to its (min, max) bounds of
+    * [[statsCol]] — absent entries mean "unknown, never skip".
+    */
   final case class Manifest(lastBatchId: Long, buckets: Map[Int, Seq[String]],
       deltas: Map[Int, Seq[String]], lineageFiles: Seq[String],
       signalFiles: Seq[String], removed: Seq[String] = Nil,
       tableSchema: Option[StructType] = None,
       bucketCount: Option[Int] = None,
-      droppedColumns: Seq[String] = Nil) {
+      droppedColumns: Seq[String] = Nil,
+      fileStats: Map[String, (Long, Long)] = Map.empty) {
     def dataFiles: Seq[String] =
       (buckets.values.flatten ++ deltas.values.flatten).toSeq
   }
@@ -163,6 +176,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     var dropped: Seq[String] = Nil
     var schemaOpt: Option[StructType] = None
     var bucketsOpt: Option[Int] = None
+    val stats = scala.collection.mutable.Map[String, (Long, Long)]()
     lines.foreach {
       case l if l.startsWith("lastBatchId=") => last = l.substring(12).toLong
       case l if l.startsWith("schema=") =>
@@ -184,11 +198,18 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       case l if l.startsWith("delta:") =>
         val Array(k, v) = l.substring(6).split("=", 2)
         deltas(k.toInt) = v.split(",").filter(_.nonEmpty).toSeq
+      case l if l.startsWith("stat:") =>
+        // the path itself contains '=' (…/__bucket=N/…) — the value
+        // separator is the LAST '=' (min,max carry none)
+        val body = l.substring(5)
+        val cut = body.lastIndexOf('=')
+        val Array(mn, mx) = body.substring(cut + 1).split(",", 2)
+        stats(body.substring(0, cut)) = (mn.toLong, mx.toLong)
       case _ =>
     }
     Manifest(last, ListMap(buckets.toSeq.sortBy(_._1): _*),
       ListMap(deltas.toSeq.sortBy(_._1): _*), lineage, signals, removed,
-      schemaOpt, bucketsOpt, dropped)
+      schemaOpt, bucketsOpt, dropped, stats.toMap)
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -207,6 +228,11 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     m.deltas.toSeq.sortBy(_._1).foreach { case (b, fs) =>
       sb.append(s"delta:$b=${fs.mkString(",")}\n")
     }
+    // only live files' stats survive a commit — entries for GC'd files
+    // age out with the file set instead of accumulating forever
+    val live = m.dataFiles.toSet
+    m.fileStats.toSeq.filter(kv => live.contains(kv._1)).sortBy(_._1)
+      .foreach { case (f, (mn, mx)) => sb.append(s"stat:$f=$mn,$mx\n") }
     sb.toString
   }
 
@@ -360,6 +386,79 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * AnalysisException from a schemaless emptyDataFrame).
     */
   def read(): DataFrame = scanResolved(readManifest())
+
+  // ---- per-file column stats (Iceberg metadata-skipping analog) --------
+  /** (min, max) of [[statsCol]] per file, read driver-side from the
+    * parquet footers — no Spark job. Files whose footer lacks usable
+    * stats (null page, unexpected physical type) get no entry and are
+    * never skipped.
+    */
+  private def footerStats(relFiles: Seq[String]): Map[String, (Long, Long)] =
+    statsCol match {
+      case None => Map.empty
+      case Some(sc) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        relFiles.flatMap { rel =>
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(s"$root/$rel"), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              val stats = r.getFooter.getBlocks.asScala
+                .flatMap(_.getColumns.asScala)
+                .filter(_.getPath.toDotString == sc)
+                .map(_.getStatistics)
+              if (stats.isEmpty ||
+                  stats.exists(s => s == null || s.isEmpty || !s.hasNonNullValue))
+                None
+              else {
+                val mins = stats.map(_.genericGetMin.asInstanceOf[Number].longValue)
+                val maxs = stats.map(_.genericGetMax.asInstanceOf[Number].longValue)
+                Some(rel -> (mins.min, maxs.max))
+              }
+            } finally r.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }.toMap
+    }
+
+  /** Live files whose [[statsCol]] bounds can intersect [lo, hi] — files
+    * without stats are always kept (skipping is a pure optimization).
+    */
+  def filesInRange(lo: Long, hi: Long): Seq[String] = {
+    val m = readManifest()
+    m.dataFiles.filter(f =>
+      m.fileStats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
+  }
+
+  /** Range read over [[statsCol]]: scans ONLY the files whose recorded
+    * (min, max) intersect [lo, hi] — the file-skipping that makes
+    * replay-to-timestamp / CDC-window reads O(files in range) instead of
+    * O(table) (Iceberg's min/max metadata filtering; znap's replay reads
+    * a Kinesis position instead, reference service/SnapshotService.scala).
+    *
+    * Exactness contract: row-exact for APPEND-ONLY tables (each key
+    * written once — the turn/event-log shape this API serves). For
+    * updated keys a superseded version can satisfy the range while the
+    * newest lies outside a skipped file — the standard caveat of any
+    * metadata-pruned merge-on-read scan — so range reads are the
+    * ingest-log API, not the snapshot API ([[read]]).
+    */
+  def readRange(lo: Long, hi: Long): DataFrame = {
+    val sc = statsCol.getOrElse(throw new IllegalStateException(
+      "readRange requires a table built with statsCol"))
+    val m = readManifest()
+    val keep = m.dataFiles.filter(f =>
+      m.fileStats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val rangePred = col(sc) >= lo && col(sc) <= hi
+    if (keep.isEmpty) emptyDf(m.tableSchema.getOrElse(emptySchema)).where(rangePred)
+    else {
+      val scanned = scanWith(m, keep.map(f => s"$root/$f"))
+      val resolvedDf =
+        if (m.deltas.values.forall(_.isEmpty)) scanned.drop("__seq")
+        else resolve(scanned)
+      resolvedDf.where(rangePred)
+    }
+  }
 
   /** A view pinned to ONE committed manifest: every read/lookup resolves
     * against the same snapshot, however many are issued. This is what
@@ -605,7 +704,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
 
     commitAndGc(m, Manifest(batchId, buckets2, deltas2, lineageFiles,
       signalFiles, tableSchema = Some(evolved), bucketCount = Some(nb),
-      droppedColumns = m.droppedColumns),
+      droppedColumns = m.droppedColumns, fileStats = m.fileStats),
       writtenThisCommit = newDeltaFiles.values.flatten.toSet)
     true
   }
@@ -778,25 +877,35 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       throw new java.util.ConcurrentModificationException(
         s"manifest advanced during this operation (was batch ${prev.lastBatchId}, " +
           s"now ${disk.lastBatchId}) — re-run against the current state")
-    val newLive = next0.dataFiles.toSet
+    // stats enrichment for files this commit introduced (footer reads,
+    // driver-side, O(new files)); callers carry prior stats forward and
+    // the renderer drops entries for files leaving the live set
+    val next1 =
+      if (statsCol.isEmpty) next0
+      else {
+        val fresh = (next0.dataFiles.toSet -- next0.fileStats.keySet).toSeq
+        if (fresh.isEmpty) next0
+        else next0.copy(fileStats = next0.fileStats ++ footerStats(fresh))
+      }
+    val newLive = next1.dataFiles.toSet
     val tombstones =
       (prev.removed ++
         ((prev.dataFiles.toSet ++ writtenThisCommit) -- newLive)).distinct
     if (!autoVacuum) {
-      commitManifest(next0.copy(removed = tombstones), writeVersioned)
+      commitManifest(next1.copy(removed = tombstones), writeVersioned)
       return
     }
-    val versions = (manifestVersions() :+ next0.lastBatchId).distinct.sorted
+    val versions = (manifestVersions() :+ next1.lastBatchId).distinct.sorted
     val keep = versions.takeRight(retainManifests).toSet
     val retainedLives: Set[String] = keep
-      .filter(v => v != next0.lastBatchId)
+      .filter(v => v != next1.lastBatchId)
       .flatMap { v =>
         parseManifestIfExists(Paths.get(root, s"manifest-v$v.json"))
           .map(_.dataFiles).getOrElse(Nil)
       }
     val deletable = tombstones
       .filterNot(f => newLive.contains(f) || retainedLives.contains(f))
-    commitManifest(next0.copy(removed = tombstones.diff(deletable)), writeVersioned)
+    commitManifest(next1.copy(removed = tombstones.diff(deletable)), writeVersioned)
     versions.filterNot(keep)
       .foreach(v => Files.deleteIfExists(Paths.get(root, s"manifest-v$v.json")))
     deletable.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
