@@ -190,8 +190,18 @@ object Bench {
         s""""stream_rows_per_sec_listener":$streamListenerRps,""" +
         s""""replay_to_ts_sec":$replayS,"replay_turns_per_sec":${rows / replayS},""" +
         s""""cpus":$cpus}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""query_shuffle_mb":$shuffleJson,$extra,"sf":"$sfDir"}""")
+    // Full record (incl. the per-query shuffle-MB map) goes to a FILE —
+    // the driver's stdout tail capture clipped the r3 one-liner mid-JSON
+    // and destroyed the primary artifact. stdout gets the compact line
+    // (metric/value/queries/synthetic only), printed LAST.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""query_shuffle_mb":$shuffleJson,$extra,"sf":"$sfDir"}"""
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_detail.json"))
+    Files.writeString(outFile, fullJson + "\n")
+    System.err.println(s"[bench] full record -> ${outFile.toAbsolutePath}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",$extra,""" +
+      s""""sf":"$sfDir","queries":$qs}""")
     rmrf(java.nio.file.Paths.get(turnsDir).getParent.toString)
     spark.stop()
   }

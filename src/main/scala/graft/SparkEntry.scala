@@ -32,8 +32,10 @@ object SparkEntry {
   private val DedupNumHashes = 64
   private val DedupRowsPerBand = 2
 
+  // bounded LRU (evicted entries unpersist their pinned block) — the
+  // round-3 unbounded map leaked cached DataFrames in long-lived servers
   private val dedupCache =
-    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+    new graft.queries.FixtureCache[DataFrame](onEvict = df => { df.unpersist(); () })
 
   private def dedupDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(col("doc_id") < DedupMaxDocId)
@@ -43,15 +45,13 @@ object SparkEntry {
     * corpus_build), computed and cached ONCE per (session, dir).
     */
   private def verifiedNearDupPairs(s: SparkSession, d: String): DataFrame =
-    dedupCache.synchronized {
-      dedupCache.getOrElseUpdate((s, d), {
-        val cands = graft.dedup.Dedup.minhashCandidates(
-          dedupDocs(s, d), "doc_id", "text",
-          numHashes = DedupNumHashes, rowsPerBand = DedupRowsPerBand)
-        TextQueries.ngramJaccard(s, d)
-          .join(cands, Seq("doc_a", "doc_b"), "left_semi")
-          .cache()
-      })
+    dedupCache.getOrElseUpdate((s, d)) {
+      val cands = graft.dedup.Dedup.minhashCandidates(
+        dedupDocs(s, d), "doc_id", "text",
+        numHashes = DedupNumHashes, rowsPerBand = DedupRowsPerBand)
+      TextQueries.ngramJaccard(s, d)
+        .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+        .cache()
     }
 
   private def dedupClusters(s: SparkSession, d: String): DataFrame =

@@ -62,17 +62,17 @@ object StreamQueries {
     unix_micros(col("last_ts")).as("last_ts_us"))
 
   private val pipelineCache =
-    mutable.Map[(SparkSession, String), (IcebergLikeTable, MetricsListener)]()
+    new FixtureCache[(IcebergLikeTable, MetricsListener)]()
   private val fanoutCache =
-    mutable.Map[(SparkSession, String), Seq[(String, IcebergLikeTable)]]()
+    new FixtureCache[Seq[(String, IcebergLikeTable)]]()
 
   /** Runs (once per session+dir) the pipeline into a fresh temp table with
     * a MetricsListener attached — O2 in-flight metrics observed on every
     * real run, not just in a dedicated test.
     */
   private def runPipeline(s: SparkSession, d: String): (IcebergLikeTable, MetricsListener) =
-    pipelineCache.synchronized {
-      pipelineCache.getOrElseUpdate((s, d), {
+    pipelineCache.getOrElseUpdate((s, d)) {
+      locally({
         import s.implicits._
         implicit val sp: SparkSession = s
         val tmp = Files.createTempDirectory("graft-stream-q").toString
@@ -173,7 +173,7 @@ object StreamQueries {
     * (store/IcebergLikeTable.readChangesSince). Oracle: the s1 snapshot
     * SQL restricted to conversations with late events.
     */
-  private val cdcCache = mutable.Map[(SparkSession, String), (IcebergLikeTable, String)]()
+  private val cdcCache = new FixtureCache[(IcebergLikeTable, String)]()
 
   /** Builds (once per session+dir) the two-commit CDC source table: batch
     * 0 = fold of the first half of the event log (split at
@@ -182,8 +182,8 @@ object StreamQueries {
     * cdc_follow.
     */
   private def cdcSource(s: SparkSession, d: String): (IcebergLikeTable, String) =
-    cdcCache.synchronized {
-      cdcCache.getOrElseUpdate((s, d), {
+    cdcCache.getOrElseUpdate((s, d)) {
+      locally({
         implicit val sp: SparkSession = s
         val turns = eventsAsTurns(s, d)
         val split = turns.agg(floor(max(col("turn_idx")) / 2).cast("long")).head().getLong(0)
@@ -259,11 +259,11 @@ object StreamQueries {
     * file carries a tight disjoint time range — the fixture for
     * stats-pruned range reads. Cached per (session, dir).
     */
-  private val tsLogCache = mutable.Map[(SparkSession, String), IcebergLikeTable]()
+  private val tsLogCache = new FixtureCache[IcebergLikeTable]()
 
   private def tsLogSource(s: SparkSession, d: String): IcebergLikeTable =
-    tsLogCache.synchronized {
-      tsLogCache.getOrElseUpdate((s, d), {
+    tsLogCache.getOrElseUpdate((s, d)) {
+      locally({
         implicit val sp: SparkSession = s
         import s.implicits._
         val ev = Tables.events(s, d).select(
@@ -352,7 +352,7 @@ object StreamQueries {
     LagReport(runPipeline(s, d)._1.lineage(), eventsAsTurns(s, d))
 
   // ---- bounded-state (TTL) pipeline ----------------------------------
-  private val ttlCache = mutable.Map[(SparkSession, String), IcebergLikeTable]()
+  private val ttlCache = new FixtureCache[IcebergLikeTable]()
 
   /** Runs the TTL-evicting pipeline with a real event-time watermark
     * (input files are RANGE-partitioned by ts, so arrival order is time
@@ -361,8 +361,8 @@ object StreamQueries {
     * generations).
     */
   private def runTtlPipeline(s: SparkSession, d: String): IcebergLikeTable =
-    ttlCache.synchronized {
-      ttlCache.getOrElseUpdate((s, d), {
+    ttlCache.getOrElseUpdate((s, d)) {
+      locally({
         import s.implicits._
         implicit val sp: SparkSession = s
         val tmp = Files.createTempDirectory("graft-ttl-q").toString
@@ -433,7 +433,7 @@ object StreamQueries {
   }
 
   // ---- streaming windowed aggregation (append mode, watermark-closed) --
-  private val windowCache = mutable.Map[(SparkSession, String), String]()
+  private val windowCache = new FixtureCache[String]()
 
   /** Runs a REAL streaming tumbling-window aggregation: file stream (5
     * micro-batches, time-ordered) → 1-minute watermark → 5-minute window
@@ -446,8 +446,8 @@ object StreamQueries {
     * table exactly, which is what the DuckDB oracle checks.
     */
   private def runWindowPipeline(s: SparkSession, d: String): String =
-    windowCache.synchronized {
-      windowCache.getOrElseUpdate((s, d), {
+    windowCache.getOrElseUpdate((s, d)) {
+      locally({
         import s.implicits._
         val tmp = Files.createTempDirectory("graft-window-q").toString
         val inDir = s"$tmp/in"
@@ -494,7 +494,7 @@ object StreamQueries {
        FROM events GROUP BY 1"""
 
   // ---- streaming SESSION windows (append mode, watermark-closed) ------
-  private val sessionCache = mutable.Map[(SparkSession, String), String]()
+  private val sessionCache = new FixtureCache[String]()
 
   /** The session analog of [[runWindowPipeline]]: file stream (time-
     * ordered micro-batches) → 1-minute watermark → 30-minute-gap
@@ -506,8 +506,8 @@ object StreamQueries {
     * gap-and-sum SQL oracle.
     */
   private def runSessionPipeline(s: SparkSession, d: String): String =
-    sessionCache.synchronized {
-      sessionCache.getOrElseUpdate((s, d), {
+    sessionCache.getOrElseUpdate((s, d)) {
+      locally({
         import s.implicits._
         val tmp = Files.createTempDirectory("graft-session-q").toString
         val inDir = s"$tmp/in"
@@ -546,7 +546,7 @@ object StreamQueries {
         col("session_end_us"), col("n_events"))
 
   // ---- streaming corpus ingestion (content-keyed dedup store) ---------
-  private val corpusCache = mutable.Map[(SparkSession, String), IcebergLikeTable]()
+  private val corpusCache = new FixtureCache[IcebergLikeTable]()
 
   /** Streaming corpus ingestion with CROSS-BATCH exact dedup: documents
     * arrive as a 4-micro-batch file stream; each batch keys its docs by
@@ -558,8 +558,8 @@ object StreamQueries {
     * bounded by distinct content, not by stream length.
     */
   private def runCorpusIngest(s: SparkSession, d: String): IcebergLikeTable =
-    corpusCache.synchronized {
-      corpusCache.getOrElseUpdate((s, d), {
+    corpusCache.getOrElseUpdate((s, d)) {
+      locally({
         implicit val sp: SparkSession = s
         val tmp = Files.createTempDirectory("graft-corpus-q").toString
         val inDir = s"$tmp/in"
@@ -602,8 +602,8 @@ object StreamQueries {
     "auth" -> Seq("signup", "login"))
 
   private def runFanout(s: SparkSession, d: String): Seq[(String, IcebergLikeTable)] =
-    fanoutCache.synchronized {
-      fanoutCache.getOrElseUpdate((s, d), {
+    fanoutCache.getOrElseUpdate((s, d)) {
+      locally({
         import s.implicits._
         implicit val sp: SparkSession = s
         val tmp = Files.createTempDirectory("graft-fanout-q").toString

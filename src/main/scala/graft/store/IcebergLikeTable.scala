@@ -954,9 +954,18 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
               (graceMs <= 0L ||
                 Files.getLastModifiedTime(p).toMillis < cutoff)) Files.delete(p)
           } else if (Files.isDirectory(p) && p != dataRoot) {
+            // empty-dir pruning honors the grace window too: an in-flight
+            // write's _temporary scaffolding is EMPTY directories — the
+            // two-writer stress caught vacuum deleting them mid-commit
+            // (the committer then dies on the vanished dir). A dir can
+            // also gain a child between check and delete: skip, don't
+            // throw (it stopped being garbage).
             val ls = Files.list(p)
             val empty = try !ls.iterator().hasNext finally ls.close()
-            if (empty) Files.delete(p)
+            if (empty && (graceMs <= 0L ||
+                Files.getLastModifiedTime(p).toMillis < cutoff))
+              try Files.deleteIfExists(p)
+              catch { case _: java.nio.file.DirectoryNotEmptyException => () }
           }
         }
       } finally walk.close()
