@@ -105,6 +105,26 @@ object ScalingBench {
         noop(SnapshotFold.typedSnapshots(
           spark.read.parquet(SharedInput).as[graft.model.Turn]).toDF())
       }),
+      // merge-on-read READ path: resolve a delta-bearing store snapshot
+      // (groups ≈ rows — the regime where the resolution aggregate's
+      // plan shape matters most). Setup (4 merge commits, deferred
+      // compaction so every bucket keeps its delta chain) is OUTSIDE the
+      // timed region; reps time read() only.
+      "store_read" -> (() => {
+        implicit val sp: org.apache.spark.sql.SparkSession = spark
+        val tmp = java.nio.file.Files.createTempDirectory("graft-storeread").toString
+        val snaps = SnapshotFold.batchSnapshots(spark.read.parquet(SharedInput))
+          .persist()
+        try {
+          val t = new graft.store.IcebergLikeTable(s"$tmp/t", 64,
+            inlineCompaction = false, maxDeltasPerBucket = 1000)
+          (0 until 4).foreach { b =>
+            t.merge(snaps.where(pmod(hash(col("conv_id")), lit(4)) === b),
+              "conv_id", b.toLong)
+          }
+          best { noop(t.read()) }
+        } finally { snaps.unpersist(); Bench.rmrf(tmp) }
+      }),
       "window_agg" -> (() => best {
         noop(spark.read.parquet(SharedInput)
           .groupBy(window(col("ts"), "5 minutes"))

@@ -73,16 +73,34 @@ case class LatestBy(payload: Expression, ord1: Expression, ord2: Expression,
 
   override def createAggregationBuffer(): LatestBy.Buf = new LatestBy.Buf
 
+  /** Update path is COMPILED, not interpreted: ObjectHashAggregate sits
+    * outside whole-stage codegen, so a naive `expr.eval(input)` per row
+    * is interpreted Catalyst — measured 1.9× slower than the codegen'd
+    * SortAggregate max_by it replaces on an ascending-ordered fold
+    * (every row wins the buffer → every row paid an interpreted struct
+    * build + generic copy). Janino-compiled UnsafeProjections make the
+    * ord check one compiled call and a win a flat-buffer memcpy.
+    */
+  @transient private lazy val ordProj = {
+    def widen(e: Expression): Expression = e.dataType match {
+      case LongType | TimestampType => e // physically long already
+      case _ => org.apache.spark.sql.catalyst.expressions.Cast(e, LongType)
+    }
+    UnsafeProjection.create(Array(widen(ord1), widen(ord2)))
+  }
+  @transient private lazy val payloadProj =
+    UnsafeProjection.create(Array(payload))
+
   override def update(buf: LatestBy.Buf, input: InternalRow): LatestBy.Buf = {
-    val o1v = ord1.eval(input)
-    if (o1v != null) {
-      val o1 = ordLong(o1v)
-      val o2v = ord2.eval(input)
-      val o2 = if (o2v == null) Long.MinValue else ordLong(o2v)
+    val o = ordProj(input)
+    if (!o.isNullAt(0)) {
+      val o1 = o.getLong(0)
+      val o2 = if (o.isNullAt(1)) Long.MinValue else o.getLong(1)
       // cheap reject before evaluating (and copying) the payload
       if (buf.row == null || o1 > buf.o1 || (o1 == buf.o1 && o2 >= buf.o2)) {
-        val p = payload.eval(input)
-        if (p != null) buf.set(o1, o2, p.asInstanceOf[InternalRow].copy())
+        val p = payloadProj(input)
+        if (!p.isNullAt(0))
+          buf.set(o1, o2, p.getStruct(0, payloadType.size).copy())
       }
     }
     buf
