@@ -165,14 +165,22 @@ object Ann {
     */
   def assignToCentroids(emb: DataFrame, cents: DataFrame): DataFrame = {
     import graft.functions.GraftFunctions.cosine_sim
+    import graft.functions.SortableDoubleBits.sortable_bits
     emb
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cluster"),
         cosine_sim(col("embedding"), col("c_emb")).as("ccos"))
       .groupBy(col("vec_id"))
-      .agg(
-        max_by(struct(col("cluster"), col("embedding")),
-          struct(col("ccos"), -col("cluster"))).as("best"))
+      // argmax over a DOUBLE score via the order-preserving bits encoding:
+      // latest_by keeps the reduction in ObjectHashAggregate (compiled
+      // update path) where max_by(struct, struct(double, int)) planned
+      // SortAggregate over ALL N×C scored rows — the largest intermediate
+      // in the ANN pipeline. Tie semantics identical: greater cos wins,
+      // equal cos → smaller cluster id (−cluster as ord2), NaN above +∞
+      // exactly like Spark's double ordering.
+      .agg(graft.functions.GraftFunctions.latest_by(
+        struct(col("cluster"), col("embedding")),
+        sortable_bits(col("ccos")), -col("cluster").cast("long")).as("best"))
       .select(col("vec_id"), col("best.cluster").as("cluster"),
         col("best.embedding").as("embedding"))
   }
