@@ -61,23 +61,34 @@ case class BoundedTopK(k: Int, ord: Expression, payload: Expression,
   override def dataType: DataType = ArrayType(payloadType, containsNull = false)
   override def nullable: Boolean = false
 
-  private def ordLong(v: Any): Long = v match {
-    case i: Int => i.toLong
-    case l: Long => l
-    case s: Short => s.toLong
-    case b: Byte => b.toLong
-    case other => other.asInstanceOf[Number].longValue()
-  }
-
   override def createAggregationBuffer(): BoundedTopK.Buf = new BoundedTopK.Buf(k)
 
+  /** Update path is COMPILED, not interpreted — same finding as
+    * [[LatestBy]]: ObjectHashAggregate sits outside whole-stage codegen,
+    * so `expr.eval(input)` per row is interpreted Catalyst (measured 1.9×
+    * slower on the latest_by fold). Janino-compiled UnsafeProjections make
+    * the full-buffer common case one compiled long extraction + one
+    * comparison, and an insert a flat-buffer struct copy.
+    */
+  @transient private lazy val ordProj = {
+    val widened = ord.dataType match {
+      case LongType | TimestampType => ord // physically long already
+      case _ => org.apache.spark.sql.catalyst.expressions.Cast(ord, LongType)
+    }
+    UnsafeProjection.create(Array(widened))
+  }
+  @transient private lazy val payloadProj =
+    UnsafeProjection.create(Array(payload))
+
   override def update(buf: BoundedTopK.Buf, input: InternalRow): BoundedTopK.Buf = {
-    val o = ord.eval(input)
-    if (o != null) {
-      val ov = ordLong(o)
+    val o = ordProj(input)
+    if (!o.isNullAt(0)) {
+      val ov = o.getLong(0)
+      // cheap reject before evaluating (and copying) the payload
       if (!buf.fullAndBelowMin(ov)) {
-        val p = payload.eval(input)
-        if (p != null) buf.insert(ov, p.asInstanceOf[InternalRow].copy())
+        val p = payloadProj(input)
+        if (!p.isNullAt(0))
+          buf.insert(ov, p.getStruct(0, payloadType.size).copy())
       }
     }
     buf
