@@ -91,6 +91,8 @@ object SparkEntry {
     "w1_stream_tumbling" -> (StreamQueries.w1StreamTumbling _),
     // the real streaming pipeline, end-to-end (S1/S4/A1/O1/G2, H1)
     "s1_stream_snapshot" -> (StreamQueries.s1StreamSnapshot _),
+    // the same pipeline on Spark 4's transformWithState (RocksDB state)
+    "s1_tws_snapshot" -> (StreamQueries.s1TwsSnapshot _),
     // point lookup routed through SQL + the GraftBucketPrune optimizer rule
     "q1_sql_lookup" -> (StreamQueries.q1SqlLookup _),
     // latest-k turns per conversation: bounded-buffer Aggregator, ≤k rows/key/partition shuffled
@@ -99,6 +101,10 @@ object SparkEntry {
     "cdc_read" -> (StreamQueries.cdcRead _),
     // replica built ONLY from the change feed == full snapshot (s1 oracle)
     "cdc_follow" -> (StreamQueries.cdcFollow _),
+    // one change feed fanned out to 2 sharded replicas (key-routed MERGEs)
+    "cdc_fanout" -> (StreamQueries.cdcFanout _),
+    // stream-stream inner join: purchases × preceding signup/click, 24h interval
+    "j3_stream_interval" -> (StreamQueries.j3StreamInterval _),
     // the same replica through the readStream-able change-feed SOURCE
     // (Structured Streaming over delta dirs, exactly-once MERGE sink)
     "cdc_stream" -> (StreamQueries.cdcStream _),
@@ -309,11 +315,14 @@ object SparkEntry {
     "w4_tool_usage" -> WindowQueries.w4ToolUsageSql,
     "w1_stream_tumbling" -> StreamQueries.w1StreamTumblingSql,
     "s1_stream_snapshot" -> StreamQueries.s1StreamSnapshotSql,
+    "s1_tws_snapshot" -> StreamQueries.s1StreamSnapshotSql,
     "q1_sql_lookup" -> StreamQueries.q1SqlLookupSql,
     "topk_per_key" -> StreamQueries.topkPerKeySql,
     "cdc_read" -> StreamQueries.cdcReadSql,
     "cdc_follow" -> StreamQueries.s1StreamSnapshotSql,
     "cdc_stream" -> StreamQueries.s1StreamSnapshotSql, // replica == full snapshot
+    "cdc_fanout" -> StreamQueries.cdcFanoutSql,
+    "j3_stream_interval" -> StreamQueries.j3StreamIntervalSql,
     "corpus_ingest" -> StreamQueries.corpusIngestSql,
     "assemble_convs" -> TranscriptQueries.assembleConvsSql,
     "pair_extract" -> TranscriptQueries.pairExtractSql,

@@ -106,6 +106,43 @@ object StreamQueries {
   def s1StreamSnapshot(s: SparkSession, d: String): DataFrame =
     snapshotOracleView(runPipeline(s, d)._1.read())
 
+  private val twsCache = new FixtureCache[IcebergLikeTable]()
+
+  /** The s1 pipeline re-run on Spark 4's `transformWithState`
+    * ([[graft.snapshot.SnapshotTws]]): same multi-batch file-stream
+    * input, same exactly-once MERGE sink, RocksDB state store (TWS
+    * requires it — and it is the 10^8-key production config anyway).
+    * Shares the s1 oracle: machine-checked proof that the TWS fold, the
+    * fMGWS fold, and the batch SQL agree.
+    */
+  private def runTwsPipeline(s: SparkSession, d: String): IcebergLikeTable =
+    twsCache.getOrElseUpdate((s, d)) {
+      locally({
+        import s.implicits._
+        implicit val sp: SparkSession = s
+        graft.snapshot.SnapshotTws.withRocksDb(s) {
+          val tmp = Files.createTempDirectory("graft-tws-q").toString
+          val inDir = s"$tmp/in"
+          eventsAsTurns(s, d).repartitionByRange(4, col("ts")).write.parquet(inDir)
+          val stream = s.readStream.schema(Schemas.turn)
+            .option("maxFilesPerTrigger", "1").parquet(inDir).as[Turn]
+          val table = new IcebergLikeTable(s"$tmp/table", 8)
+          val q = graft.snapshot.SnapshotTws.updates(stream, watermark = "3650 days")
+            .writeStream
+            .outputMode("update")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch(graft.sink.MergeSink(table) _)
+            .start()
+          runAndStop(q)
+          table
+        }
+      })
+    }
+
+  /** S1+A1 on transformWithState — the modern stateful API, same oracle. */
+  def s1TwsSnapshot(s: SparkSession, d: String): DataFrame =
+    snapshotOracleView(runTwsPipeline(s, d).read())
+
   val s1StreamSnapshotSql: String =
     """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
                          event_id AS turn_idx, event_type AS role, ts
@@ -594,6 +631,114 @@ object StreamQueries {
 
   val corpusIngestSql: String =
     "SELECT DISTINCT md5(text) AS digest FROM documents"
+
+  // ---- J3: stream-stream interval join --------------------------------
+  /** Purchase attribution — a real STREAM-STREAM inner join: two
+    * independent file-stream sources over the event log, equality on
+    * conv_id plus an event-time interval (each purchase matched to the
+    * same user's signup/click events in the preceding 24 h). Spark keeps
+    * both sides' state keyed by conv_id and the interval condition +
+    * watermark bound state eviction — at scale the watermark is tight
+    * (hours) and state holds only the join window; the 3650-day value
+    * here is the fixture's "nothing is late" setting. Inner-join matches
+    * emit as found (append mode), so the drained result equals the batch
+    * join — which is exactly what the DuckDB oracle checks.
+    */
+  def j3StreamInterval(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-ssjoin-q").toString
+    val inDir = s"$tmp/in"
+    eventsAsTurns(s, d).repartitionByRange(4, col("ts")).write.parquet(inDir)
+    def side() = s.readStream.schema(Schemas.turn)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val buys = side().filter(col("role") === "purchase")
+      .select(col("conv_id"), col("turn_idx").as("buy_idx"),
+        col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "3650 days")
+    val srcs = side().filter(col("role").isin("signup", "click"))
+      .select(col("conv_id").as("src_conv_id"), col("turn_idx").as("src_idx"),
+        col("role").as("src_role"), col("ts").as("src_ts"))
+      .withWatermark("src_ts", "3650 days")
+    val joined = buys.join(srcs,
+      col("conv_id") === col("src_conv_id") &&
+        col("buy_ts") >= col("src_ts") &&
+        col("buy_ts") <= col("src_ts") + expr("interval 24 hours"))
+      .select(col("conv_id"), col("buy_idx"), col("src_idx"), col("src_role"),
+        unix_micros(col("buy_ts")).as("buy_ts_us"),
+        unix_micros(col("src_ts")).as("src_ts_us"))
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("parquet").option("path", s"$tmp/out")
+      .start()
+    runAndStop(q)
+    s.read.schema(joined.schema).parquet(s"$tmp/out")
+  }
+
+  val j3StreamIntervalSql: String =
+    """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                         event_id AS turn_idx, event_type AS role, ts
+                  FROM events)
+       SELECT b.conv_id, b.turn_idx AS buy_idx, a.turn_idx AS src_idx,
+              a.role AS src_role, epoch_us(b.ts) AS buy_ts_us,
+              epoch_us(a.ts) AS src_ts_us
+       FROM t b JOIN t a ON b.conv_id = a.conv_id
+       WHERE b.role = 'purchase' AND a.role IN ('signup','click')
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR"""
+
+  // ---- CDC fan-out: sharded replicas from the change feed -------------
+  private val cdcFanoutCache = new FixtureCache[Seq[(Int, IcebergLikeTable)]]()
+
+  /** Scale-out replica topology: ONE change-feed stream fanned out to two
+    * shard tables by a stable key route (conv_id mod 2) — each downstream
+    * MERGE touches only its shard's keys, so replicas partition the write
+    * load instead of each absorbing the full feed (znap's signalling
+    * consumers, upgraded to direct sharded shipping). Union of shards ==
+    * full snapshot; the oracle recomputes the shard label in SQL, so key
+    * routing is hash-checked too, and no key may appear in both shards.
+    */
+  private def runCdcFanout(s: SparkSession, d: String): Seq[(Int, IcebergLikeTable)] =
+    cdcFanoutCache.getOrElseUpdate((s, d)) {
+      locally({
+        implicit val sp: SparkSession = s
+        val (src, tmp) = cdcSource(s, d)
+        val shards = Seq(0, 1).map(i =>
+          i -> new IcebergLikeTable(s"$tmp/shard$i/table", 8))
+        val q = graft.replay.ChangeStream.changes(src).writeStream
+          .option("checkpointLocation", s"$tmp/ckpt_fanout")
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            // resolve once per batch, route each key to exactly one shard
+            val up = graft.replay.ChangeStream.resolved(df, src.keyCol)
+            up.persist()
+            try shards.foreach { case (i, t) =>
+              val part = up.filter(col(t.keyCol).cast("long") % 2 === i)
+              if (!part.isEmpty) { t.merge(part, t.keyCol, batchId); () }
+            } finally { up.unpersist(); () }
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(600000)
+        shards
+      })
+    }
+
+  def cdcFanout(s: SparkSession, d: String): DataFrame =
+    runCdcFanout(s, d).map { case (i, table) =>
+      snapshotOracleView(table.read()).select(lit(i).as("shard"), col("*"))
+    }.reduce(_ unionByName _)
+
+  val cdcFanoutSql: String =
+    """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                         event_id AS turn_idx, event_type AS role, ts
+                  FROM events),
+       r AS (SELECT conv_id, turn_idx, role, row_number() OVER
+               (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rn FROM t),
+       a AS (SELECT conv_id, count(*) AS turn_count,
+                    min(epoch_us(ts)) AS first_ts_us,
+                    max(epoch_us(ts)) AS last_ts_us
+             FROM t GROUP BY conv_id)
+       SELECT CAST(a.conv_id AS BIGINT) % 2 AS shard, a.conv_id,
+              r.turn_idx AS last_turn_idx, r.role AS last_role,
+              a.turn_count, a.first_ts_us, a.last_ts_us
+       FROM a JOIN r ON a.conv_id = r.conv_id AND r.rn = 1"""
 
   // ---- G1: streaming multi-target fan-out -----------------------------
   /** The two per-target filters mirror the batch g1_fanout exhibit. */
