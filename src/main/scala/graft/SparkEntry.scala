@@ -105,6 +105,16 @@ object SparkEntry {
     "cdc_fanout" -> (StreamQueries.cdcFanout _),
     // stream-stream inner join: purchases × preceding signup/click, 24h interval
     "j3_stream_interval" -> (StreamQueries.j3StreamInterval _),
+    // stream-static broadcast enrichment (stateless dim join per micro-batch)
+    "j4_stream_static" -> (StreamQueries.j4StreamStatic _),
+    // stream-stream LEFT OUTER interval join: null rows flushed by a real
+    // advancing watermark (state-eviction semantics, sentinel-closed)
+    "j5_stream_outer" -> (StreamQueries.j5StreamOuter _),
+    // dropDuplicatesWithinWatermark over a 3x-duplicated stream == DISTINCT
+    "dedup_stream_watermark" -> (StreamQueries.dedupStreamWatermark _),
+    // aggregate view maintained from the change feed (delta view
+    // maintenance: -old/+new group deltas, base never rescanned)
+    "mv_maintain" -> (StreamQueries.mvMaintain _),
     // the same replica through the readStream-able change-feed SOURCE
     // (Structured Streaming over delta dirs, exactly-once MERGE sink)
     "cdc_stream" -> (StreamQueries.cdcStream _),
@@ -323,6 +333,10 @@ object SparkEntry {
     "cdc_stream" -> StreamQueries.s1StreamSnapshotSql, // replica == full snapshot
     "cdc_fanout" -> StreamQueries.cdcFanoutSql,
     "j3_stream_interval" -> StreamQueries.j3StreamIntervalSql,
+    "j4_stream_static" -> StreamQueries.j4StreamStaticSql,
+    "j5_stream_outer" -> StreamQueries.j5StreamOuterSql,
+    "dedup_stream_watermark" -> StreamQueries.dedupStreamWatermarkSql,
+    "mv_maintain" -> StreamQueries.mvMaintainSql,
     "corpus_ingest" -> StreamQueries.corpusIngestSql,
     "assemble_convs" -> TranscriptQueries.assembleConvsSql,
     "pair_extract" -> TranscriptQueries.pairExtractSql,

@@ -662,7 +662,8 @@ object StreamQueries {
       col("conv_id") === col("src_conv_id") &&
         col("buy_ts") >= col("src_ts") &&
         col("buy_ts") <= col("src_ts") + expr("interval 24 hours"))
-      .select(col("conv_id"), col("buy_idx"), col("src_idx"), col("src_role"),
+      .select(col("conv_id"), col("buy_idx").cast("long").as("buy_idx"),
+        col("src_idx").cast("long").as("src_idx"), col("src_role"),
         unix_micros(col("buy_ts")).as("buy_ts_us"),
         unix_micros(col("src_ts")).as("src_ts_us"))
     val q = joined.writeStream.outputMode("append")
@@ -739,6 +740,208 @@ object StreamQueries {
               r.turn_idx AS last_turn_idx, r.role AS last_role,
               a.turn_count, a.first_ts_us, a.last_ts_us
        FROM a JOIN r ON a.conv_id = r.conv_id AND r.rn = 1"""
+
+  // ---- J4: stream-static broadcast enrichment -------------------------
+  /** Dimension enrichment — the most common production streaming join:
+    * an event stream decorated with a SMALL static dimension table. The
+    * dim side is broadcast once per micro-batch (no stream state, no
+    * watermark — stream-static inner joins are stateless by
+    * construction), so at 100 TB of stream the join costs zero shuffle
+    * on the stream side. The drained sink equals the batch join, which
+    * is what the DuckDB oracle checks.
+    */
+  def j4StreamStatic(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-ssdim-q").toString
+    val inDir = s"$tmp/in"
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartitionByRange(4, col("event_id")).write.parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id bigint, user_id bigint, event_type string, value double")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val joined = stream.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"),
+        col("c_mktsegment"), col("value"))
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("parquet").option("path", s"$tmp/out")
+      .start()
+    runAndStop(q)
+    s.read.schema(joined.schema).parquet(s"$tmp/out")
+  }
+
+  val j4StreamStaticSql: String =
+    """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey"""
+
+  // ---- J5: stream-stream LEFT OUTER interval join ---------------------
+  /** The outer form of j3 under a REAL (1-minute) watermark: purchases
+    * left-joined to the same user's signup/click events in the preceding
+    * 24 h. Matches emit as found; an unmatched purchase emits its
+    * null-padded row only when the advancing watermark proves no match
+    * can still arrive and evicts its state — the part of outer-join
+    * semantics only the watermark machinery can provide. Input files are
+    * time-ordered (stampAscending) so the watermark genuinely advances
+    * batch by batch, and a far-future sentinel (filtered out AFTER the
+    * watermark node, so it moves the clock without joining) flushes the
+    * final unmatched rows. Drained result == batch LEFT JOIN, DuckDB-
+    * oracled.
+    */
+  def j5StreamOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-ssouter-q").toString
+    val inDir = s"$tmp/in"
+    val turns = eventsAsTurns(s, d)
+    turns.repartitionByRange(4, col("ts")).write.parquet(inDir)
+    val stamped = stampAscending(inDir)
+    val maxTs = turns.agg(max(col("ts"))).head().getTimestamp(0)
+    // Sentinels must SURVIVE the role filters: Catalyst pushes a
+    // deterministic filter below EventTimeWatermark, so each side's
+    // watermark tracks only the rows its filter keeps — a
+    // role='sentinel' row would never advance either clock, and the
+    // buys watermark would top out at (latest purchase − delay),
+    // leaving the latest unmatched purchase inevictable. So each
+    // sentinel batch carries one 'purchase' and one 'click' on the
+    // impossible conv_id "-1" (joins nothing; dropped on result read).
+    // TWO batches, a week apart: eviction runs against the watermark
+    // as of batch START, one batch behind the data that advanced it.
+    (1 to 2).foldLeft(stamped) { (seen, wk) =>
+      appendSentinelLast(inDir, seen,
+        Seq("purchase", "click").map(r => ("-1", -wk, r, "", "",
+          new java.sql.Timestamp(maxTs.getTime + wk * 7L * 24 * 3600 * 1000)))
+          .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+      val ls = Files.list(java.nio.file.Paths.get(inDir))
+      try ls.iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".parquet")).toSet
+      finally ls.close()
+    }
+    def side() = s.readStream.schema(Schemas.turn)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val buys = side()
+      .select(col("conv_id"), col("turn_idx").as("buy_idx"), col("role"),
+        col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "1 minute")
+      .filter(col("role") === "purchase").drop("role")
+    val srcs = side()
+      .select(col("conv_id").as("src_conv_id"), col("turn_idx").as("src_idx"),
+        col("role").as("src_role"), col("ts").as("src_ts"))
+      .withWatermark("src_ts", "1 minute")
+      .filter(col("src_role").isin("signup", "click"))
+    val joined = buys.join(srcs,
+      col("conv_id") === col("src_conv_id") &&
+        col("buy_ts") >= col("src_ts") &&
+        col("buy_ts") <= col("src_ts") + expr("interval 24 hours"),
+      "leftOuter")
+      .select(col("conv_id"), col("buy_idx").cast("long").as("buy_idx"),
+        col("src_idx").cast("long").as("src_idx"), col("src_role"),
+        unix_micros(col("buy_ts")).as("buy_ts_us"),
+        unix_micros(col("src_ts")).as("src_ts_us"))
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("parquet").option("path", s"$tmp/out")
+      .start()
+    runAndStop(q)
+    s.read.schema(joined.schema).parquet(s"$tmp/out")
+      .filter(col("conv_id") =!= "-1") // sentinel purchases' null rows
+  }
+
+  val j5StreamOuterSql: String =
+    """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                         event_id AS turn_idx, event_type AS role, ts
+                  FROM events),
+       b AS (SELECT conv_id, turn_idx AS buy_idx, ts AS buy_ts FROM t
+             WHERE role = 'purchase'),
+       a AS (SELECT conv_id AS src_conv_id, turn_idx AS src_idx,
+                    role AS src_role, ts AS src_ts FROM t
+             WHERE role IN ('signup','click'))
+       SELECT b.conv_id, b.buy_idx, a.src_idx, a.src_role,
+              epoch_us(b.buy_ts) AS buy_ts_us, epoch_us(a.src_ts) AS src_ts_us
+       FROM b LEFT JOIN a ON b.conv_id = a.src_conv_id
+         AND b.buy_ts >= a.src_ts
+         AND b.buy_ts <= a.src_ts + INTERVAL 24 HOUR"""
+
+  // ---- streaming dedup within watermark -------------------------------
+  /** `dropDuplicatesWithinWatermark` over a deliberately duplicated
+    * stream (every third event arrives three times): first occurrence
+    * passes, replays are absorbed by keyed state, and the watermark
+    * bounds that state — at production scale the delay is tight (hours)
+    * and dedup state holds only the replay horizon, not stream history;
+    * the fixture's wide watermark is its usual "nothing is late"
+    * setting, making the drained result exactly DISTINCT, which the
+    * DuckDB oracle checks against the clean events table.
+    */
+  def dedupStreamWatermark(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-sdedup-q").toString
+    val inDir = s"$tmp/in"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val dups = ev.filter(col("event_id") % 3 === 0)
+    ev.unionByName(dups).unionByName(dups)
+      .repartitionByRange(4, col("ts")).write.parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id bigint, user_id bigint, event_type string, ts timestamp")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+    val out = stream.withWatermark("ts", "3650 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type").as("role"),
+        unix_micros(col("ts")).as("ts_us"))
+    val q = out.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("parquet").option("path", s"$tmp/out")
+      .start()
+    runAndStop(q)
+    s.read.schema(out.schema).parquet(s"$tmp/out")
+  }
+
+  val dedupStreamWatermarkSql: String =
+    """SELECT event_id, user_id, event_type AS role, epoch_us(ts) AS ts_us
+       FROM events"""
+
+  // ---- incremental materialized-aggregate maintenance -----------------
+  private val mvCache = new FixtureCache[IcebergLikeTable]()
+
+  /** Aggregate view maintained purely from the change feed
+    * ([[graft.pipeline.MaterializedAgg]]): per-batch (−old, +new) group
+    * deltas MERGEd into a view keyed by the group — the base table is
+    * never rescanned. The cdc fixture's final state equals the full s1
+    * snapshot, so the maintained view must hash-equal a from-scratch
+    * GROUP BY over it (the DuckDB oracle).
+    */
+  private def runMvMaintain(s: SparkSession, d: String): IcebergLikeTable =
+    mvCache.getOrElseUpdate((s, d)) {
+      locally({
+        implicit val sp: SparkSession = s
+        val (src, tmp) = cdcSource(s, d)
+        val sums = Seq("turn_count" -> "turns_sum")
+        val replica = new IcebergLikeTable(s"$tmp/mv_replica", 8)
+        val mv = new IcebergLikeTable(s"$tmp/mv", 4, keyCol = "last_role",
+          emptySchema = graft.pipeline.MaterializedAgg.viewSchema("last_role", sums))
+        val q = graft.pipeline.MaterializedAgg.maintain(
+          src, replica, mv, "last_role", sums, s"$tmp/ckpt_mv")
+        q.awaitTermination(600000)
+        mv
+      })
+    }
+
+  def mvMaintain(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.MaterializedAgg.read(runMvMaintain(s, d))
+      .select(col("last_role"), col("n").as("conv_count"), col("turns_sum"))
+
+  val mvMaintainSql: String =
+    """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                         event_id AS turn_idx, event_type AS role, ts
+                  FROM events),
+       r AS (SELECT conv_id, role, row_number() OVER
+               (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rn FROM t),
+       a AS (SELECT conv_id, count(*) AS turn_count FROM t GROUP BY conv_id)
+       SELECT r.role AS last_role, count(*) AS conv_count,
+              CAST(sum(a.turn_count) AS BIGINT) AS turns_sum
+       FROM a JOIN r ON a.conv_id = r.conv_id AND r.rn = 1
+       GROUP BY r.role"""
 
   // ---- G1: streaming multi-target fan-out -----------------------------
   /** The two per-target filters mirror the batch g1_fanout exhibit. */

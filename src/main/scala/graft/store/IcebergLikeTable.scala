@@ -387,6 +387,31 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     */
   def read(): DataFrame = scanResolved(readManifest())
 
+  /** Bucket-pruned snapshot read restricted to the buckets that the keys
+    * in `keys` (a frame with a [[keyCol]] column) hash to — the
+    * distributed batch-get. Only the DISTINCT bucket-id set is
+    * materialized on the driver (≤ bucket count rows, never O(keys)), so
+    * it composes with arbitrarily large key frames: a change-feed batch
+    * touching k keys reads the files of ≤ min(k, B) buckets instead of
+    * the whole table. The result still contains every key living in
+    * those buckets — callers keep their join/semi-join; what is saved is
+    * the scan and resolution work of the untouched buckets (bucketing
+    * partitions the key space, so last-writer-wins resolution restricted
+    * to whole buckets is exact).
+    */
+  def readForKeys(keys: DataFrame): DataFrame = {
+    val m = readManifest()
+    val nb = bucketsOf(m)
+    val hit = keys.select(bucketExpr(keyCol, nb).as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSet.toSeq.sorted
+    val base = hit.flatMap(b => m.buckets.getOrElse(b, Nil))
+    val delta = hit.flatMap(b => m.deltas.getOrElse(b, Nil))
+    val files = (base ++ delta).map(f => s"$root/$f")
+    if (files.isEmpty) emptyDf(m.tableSchema.getOrElse(emptySchema))
+    else if (delta.isEmpty) scanWith(m, files).drop("__seq")
+    else resolve(scanWith(m, files))
+  }
+
   // ---- per-file column stats (Iceberg metadata-skipping analog) --------
   /** (min, max) of [[statsCol]] per file, read driver-side from the
     * parquet footers — no Spark job. Files whose footer lacks usable
