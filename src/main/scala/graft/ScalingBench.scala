@@ -200,6 +200,78 @@ object ScalingBench {
           .filter(col("rn") <= 8)
           .select("conv_id", "turn_idx", "role", "text"))
       }),
+      // incremental materialized-view maintenance vs from-scratch
+      // recompute, per-TURN base (one row per turn, every row a key) so
+      // the base genuinely scan-bounds the recompute: 5 update batches
+      // of ~16 touched keys each against a 256-bucket replica of all
+      // turns. mv_incr times 5 MaterializedAgg.applyBatch calls
+      // (bucket-pruned pre-image reads: ≤16 of 256 buckets scanned per
+      // batch); mv_full times the 5 full GROUP BYs a view without
+      // maintenance would run. Update content varies per rep (tlen +
+      // batch id) so replays are real work, never MERGE-idempotent
+      // no-ops; batch ids advance monotonically across reps.
+      "mv_incr" -> (() => {
+        implicit val sp: org.apache.spark.sql.SparkSession = spark
+        val tmp = java.nio.file.Files.createTempDirectory("graft-mvincr").toString
+        val sums = Seq("tlen" -> "len_sum")
+        def turnsBase = spark.read.parquet(SharedInput)
+          .select(concat_ws("-", col("conv_id"), col("turn_idx")).as("tkey"),
+            col("role"), length(col("text")).cast("long").as("tlen"))
+        try {
+          val src = new graft.store.IcebergLikeTable(s"$tmp/src", 256,
+            keyCol = "tkey")
+          val replica = new graft.store.IcebergLikeTable(s"$tmp/rep", 256,
+            keyCol = "tkey")
+          val mv = new graft.store.IcebergLikeTable(s"$tmp/mv", 8,
+            keyCol = "role",
+            emptySchema = graft.pipeline.MaterializedAgg
+              .viewSchema("role", sums))
+          // bootstrap (untimed): replica = all turns; view from scratch
+          replica.merge(turnsBase, "tkey", 0L)
+          mv.merge(replica.read().groupBy(col("role"))
+            .agg(count(lit(1)).as("n"), sum(col("tlen")).as("len_sum")),
+            "role", 0L)
+          // ~16-key deterministic update slices, materialized untimed
+          val slice = math.max(rows / 16L, 1L)
+          val upds = (1 to 5).map { b =>
+            val u = turnsBase.where(pmod(hash(col("tkey")), lit(slice)) === b)
+              .persist()
+            u.count(); u
+          }
+          var nextBatch = 1L
+          val sec = best {
+            upds.foreach { u0 =>
+              val u = u0.withColumn("tlen", col("tlen") + lit(nextBatch))
+                .withColumn("__seq", lit(nextBatch))
+              graft.pipeline.MaterializedAgg.applyBatch(src, replica, mv,
+                "role", sums, u, nextBatch)
+              nextBatch += 1
+            }
+          }
+          upds.foreach(_.unpersist())
+          sec
+        } finally { Bench.rmrf(tmp) }
+      }),
+      // the no-maintenance alternative: 5 from-scratch GROUP BYs over
+      // the same per-turn table (what each mv_incr batch avoids)
+      "mv_full" -> (() => {
+        implicit val sp: org.apache.spark.sql.SparkSession = spark
+        val tmp = java.nio.file.Files.createTempDirectory("graft-mvfull").toString
+        try {
+          val replica = new graft.store.IcebergLikeTable(s"$tmp/rep", 256,
+            keyCol = "tkey")
+          replica.merge(spark.read.parquet(SharedInput)
+            .select(concat_ws("-", col("conv_id"), col("turn_idx")).as("tkey"),
+              col("role"), length(col("text")).cast("long").as("tlen")),
+            "tkey", 0L)
+          best {
+            (1 to 5).foreach { _ =>
+              noop(replica.read().groupBy(col("role"))
+                .agg(count(lit(1)).as("n"), sum(col("tlen")).as("len_sum")))
+            }
+          }
+        } finally { Bench.rmrf(tmp) }
+      }),
       "stream_fold" -> (() => (1 to reps).map(_ =>
         Bench.streamFoldOnly(spark, SharedInput, files = 256)).min),
       "stream_build" -> (() => (1 to reps).map(_ =>
