@@ -201,36 +201,46 @@ object ScalingBench {
           .select("conv_id", "turn_idx", "role", "text"))
       }),
       // incremental materialized-view maintenance vs from-scratch
-      // recompute, per-TURN base (one row per turn, every row a key) so
-      // the base genuinely scan-bounds the recompute: 5 update batches
-      // of ~16 touched keys each against a 256-bucket replica of all
-      // turns. mv_incr times 5 MaterializedAgg.applyBatch calls
-      // (bucket-pruned pre-image reads: ≤16 of 256 buckets scanned per
-      // batch); mv_full times the 5 full GROUP BYs a view without
-      // maintenance would run. Update content varies per rep (tlen +
-      // batch id) so replays are real work, never MERGE-idempotent
-      // no-ops; batch ids advance monotonically across reps.
+      // recompute: per-TURN base (one row per turn, every row a key),
+      // view = the per-CONVERSATION rollup (turns + total text length
+      // per conv — HIGH-cardinality groups, the production MV shape
+      // where the recompute's GROUP BY is a real key shuffle, not a
+      // map-side-collapsible 5-group agg). 5 update batches of ~16
+      // touched keys each against a 256-bucket clean-base replica.
+      // mv_incr times 5 MaterializedAgg.applyBatch calls (bucket-pruned
+      // pre-image + view reads: ≤16 of 256 buckets each); mv_full times
+      // the 5 full GROUP BYs a view without maintenance would run
+      // (recompute only, no view rewrite — a LOWER bound on the
+      // alternative). Update content varies per rep (tlen + batch id)
+      // so replays are real work, never MERGE-idempotent no-ops; batch
+      // ids advance monotonically across reps.
       "mv_incr" -> (() => {
         implicit val sp: org.apache.spark.sql.SparkSession = spark
         val tmp = java.nio.file.Files.createTempDirectory("graft-mvincr").toString
         val sums = Seq("tlen" -> "len_sum")
         def turnsBase = spark.read.parquet(SharedInput)
           .select(concat_ws("-", col("conv_id"), col("turn_idx")).as("tkey"),
-            col("role"), length(col("text")).cast("long").as("tlen"))
+            col("conv_id"), length(col("text")).cast("long").as("tlen"))
         try {
           val src = new graft.store.IcebergLikeTable(s"$tmp/src", 256,
             keyCol = "tkey")
           val replica = new graft.store.IcebergLikeTable(s"$tmp/rep", 256,
             keyCol = "tkey")
-          val mv = new graft.store.IcebergLikeTable(s"$tmp/mv", 8,
-            keyCol = "role",
+          val mv = new graft.store.IcebergLikeTable(s"$tmp/mv", 256,
             emptySchema = graft.pipeline.MaterializedAgg
-              .viewSchema("role", sums))
-          // bootstrap (untimed): replica = all turns; view from scratch
-          replica.merge(turnsBase, "tkey", 0L)
-          mv.merge(replica.read().groupBy(col("role"))
-            .agg(count(lit(1)).as("n"), sum(col("tlen")).as("len_sum")),
-            "role", 0L)
+              .viewSchema("conv_id", sums))
+          // bootstrap (untimed): replica = all turns, COMPACTED to a
+          // clean base via a threshold-1 handle on the same root — the
+          // steady state a maintained table sits in; the update batches
+          // then layer deltas only on their touched buckets
+          new graft.store.IcebergLikeTable(s"$tmp/rep", 256,
+            keyCol = "tkey", maxDeltasPerBucket = 1)
+            .merge(turnsBase, "tkey", 0L)
+          new graft.store.IcebergLikeTable(s"$tmp/mv", 256,
+            maxDeltasPerBucket = 1)
+            .merge(replica.read().groupBy(col("conv_id"))
+              .agg(count(lit(1)).as("n"), sum(col("tlen")).as("len_sum")),
+              "conv_id", 0L)
           // ~16-key deterministic update slices, materialized untimed
           val slice = math.max(rows / 16L, 1L)
           val upds = (1 to 5).map { b =>
@@ -244,7 +254,7 @@ object ScalingBench {
               val u = u0.withColumn("tlen", col("tlen") + lit(nextBatch))
                 .withColumn("__seq", lit(nextBatch))
               graft.pipeline.MaterializedAgg.applyBatch(src, replica, mv,
-                "role", sums, u, nextBatch)
+                "conv_id", sums, u, nextBatch)
               nextBatch += 1
             }
           }
@@ -260,13 +270,16 @@ object ScalingBench {
         try {
           val replica = new graft.store.IcebergLikeTable(s"$tmp/rep", 256,
             keyCol = "tkey")
-          replica.merge(spark.read.parquet(SharedInput)
-            .select(concat_ws("-", col("conv_id"), col("turn_idx")).as("tkey"),
-              col("role"), length(col("text")).cast("long").as("tlen")),
-            "tkey", 0L)
+          // same compacted clean-base state as mv_incr's replica
+          new graft.store.IcebergLikeTable(s"$tmp/rep", 256,
+            keyCol = "tkey", maxDeltasPerBucket = 1)
+            .merge(spark.read.parquet(SharedInput)
+              .select(concat_ws("-", col("conv_id"), col("turn_idx")).as("tkey"),
+                col("conv_id"), length(col("text")).cast("long").as("tlen")),
+              "tkey", 0L)
           best {
             (1 to 5).foreach { _ =>
-              noop(replica.read().groupBy(col("role"))
+              noop(replica.read().groupBy(col("conv_id"))
                 .agg(count(lit(1)).as("n"), sum(col("tlen")).as("len_sum")))
             }
           }
