@@ -196,10 +196,21 @@ object Bench {
     // (metric/value/queries/synthetic only), printed LAST.
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""query_shuffle_mb":$shuffleJson,$extra,"sf":"$sfDir"}"""
-    val outFile = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_detail.json"))
-    Files.writeString(outFile, fullJson + "\n")
-    System.err.println(s"[bench] full record -> ${outFile.toAbsolutePath}")
+    // Detail write is fail-safe: a bad SPARK_GRAFT_BENCH_OUT path or a
+    // full disk must not also destroy the compact stdout line (which
+    // stays LAST so the driver's tail capture cannot clip it — the r3
+    // lesson) after a multi-hour run.
+    try {
+      val outFile = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_detail.json"))
+      Files.writeString(outFile, fullJson + "\n")
+      System.err.println(s"[bench] full record -> ${outFile.toAbsolutePath}")
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] detail write failed (${e.getMessage}); " +
+          "full record follows on stderr:")
+        System.err.println(fullJson)
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec",$extra,""" +
       s""""sf":"$sfDir","queries":$qs}""")
     rmrf(java.nio.file.Paths.get(turnsDir).getParent.toString)

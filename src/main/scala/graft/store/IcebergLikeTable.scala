@@ -73,18 +73,46 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
   private val LockWaitMs = 60000L
   private val LockStaleMs = 60000L
 
-  private def withCommitLock[A](body: => A): A = {
+  /** Token of the lock THIS thread holds (null outside withCommitLock):
+    * lets [[commitManifest]] re-verify ownership immediately before the
+    * manifest swap — the fencing check that turns a stale-break race
+    * into a loud abort instead of a split-brain commit.
+    */
+  private val holderToken = new ThreadLocal[String]
+
+  private def ownsLock(token: String): Boolean =
+    try new String(Files.readAllBytes(lockPath),
+      java.nio.charset.StandardCharsets.UTF_8) == token
+    catch { case _: java.io.IOException => false }
+
+  /** The lock file carries its owner's unique token, so (a) release
+    * deletes the lock ONLY while it still holds this acquisition's token
+    * — a slow-but-alive holder whose lock was broken as stale can no
+    * longer destroy its successor's lock on the way out — and (b) a
+    * stale break is an atomic RENAME to a unique name (exactly one of N
+    * concurrent breakers wins; delete-then-create would admit several).
+    */
+  private[store] def withCommitLock[A](body: => A): A = {
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + LockWaitMs
     var held = false
     while (!held) {
-      try { Files.createFile(lockPath); held = true }
-      catch {
+      try {
+        Files.write(lockPath, token.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        held = true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           try {
             val age = System.currentTimeMillis() -
               Files.getLastModifiedTime(lockPath).toMillis
-            if (age > LockStaleMs) Files.deleteIfExists(lockPath)
-          } catch { case _: java.io.IOException => () } // holder released it
+            if (age > LockStaleMs) {
+              val broken = Paths.get(root, s"commit.lock.broken-$token")
+              Files.move(lockPath, broken) // atomic: one breaker wins
+              Files.deleteIfExists(broken)
+            }
+          } catch { case _: java.io.IOException => () } // released / lost the break race
           if (System.currentTimeMillis() > deadline)
             throw new java.util.ConcurrentModificationException(
               s"commit lock $lockPath held for > ${LockWaitMs}ms — " +
@@ -92,7 +120,13 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
           Thread.sleep(5)
       }
     }
-    try body finally Files.deleteIfExists(lockPath)
+    holderToken.set(token)
+    try body finally {
+      holderToken.remove()
+      // delete only OUR lock: if a breaker renamed it away, lockPath is
+      // absent or holds the successor's token and must be left alone
+      if (ownsLock(token)) Files.deleteIfExists(lockPath)
+    }
   }
 
   // ---- manifest ------------------------------------------------------
@@ -246,7 +280,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * would destroy pre-drop time travel. (Compaction/rebucket overwrite
     * legitimately: same logical content, new layout.)
     */
-  private def commitManifest(m: Manifest, writeVersioned: Boolean = true): Unit = {
+  private[store] def commitManifest(m: Manifest, writeVersioned: Boolean = true): Unit = {
     // Atomic main swap FIRST — it alone gates visibility. The versioned
     // copy (time travel / snapshot history, the Iceberg snapshot-log
     // analog) follows, also via temp + ATOMIC_MOVE: a crash between the
@@ -255,6 +289,17 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     // uncommitted batch, which the old order could expose via readAsOf.
     val tmp = Paths.get(root, s"manifest.tmp.${m.lastBatchId}")
     Files.writeString(tmp, renderManifest(m))
+    // Fencing: if this thread entered under the commit lock but the lock
+    // was since broken as stale (the holder outlived LockStaleMs), a
+    // successor may already be committing — abort loudly rather than
+    // swap a manifest computed from a superseded snapshot.
+    val tok = holderToken.get
+    if (tok != null && !ownsLock(tok)) {
+      Files.deleteIfExists(tmp)
+      throw new java.util.ConcurrentModificationException(
+        "commit lock lost (broken as stale) before the manifest swap — " +
+          "re-run against the current state")
+    }
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     if (writeVersioned) {
@@ -449,11 +494,15 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
   /** Live files whose [[statsCol]] bounds can intersect [lo, hi] — files
     * without stats are always kept (skipping is a pure optimization).
     */
-  def filesInRange(lo: Long, hi: Long): Seq[String] = {
-    val m = readManifest()
+  def filesInRange(lo: Long, hi: Long): Seq[String] =
+    filesInRangeOf(readManifest(), lo, hi)
+
+  /** The one pruning predicate both [[filesInRange]] and [[readRange]]
+    * apply (shared so the bounds semantics cannot drift apart).
+    */
+  private def filesInRangeOf(m: Manifest, lo: Long, hi: Long): Seq[String] =
     m.dataFiles.filter(f =>
       m.fileStats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
-  }
 
   /** Range read over [[statsCol]]: scans ONLY the files whose recorded
     * (min, max) intersect [lo, hi] — the file-skipping that makes
@@ -472,8 +521,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val sc = statsCol.getOrElse(throw new IllegalStateException(
       "readRange requires a table built with statsCol"))
     val m = readManifest()
-    val keep = m.dataFiles.filter(f =>
-      m.fileStats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val keep = filesInRangeOf(m, lo, hi)
     val rangePred = col(sc) >= lo && col(sc) <= hi
     if (keep.isEmpty) emptyDf(m.tableSchema.getOrElse(emptySchema)).where(rangePred)
     else {
@@ -881,7 +929,19 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     */
   private[store] def commitAndGc(prev: Manifest, next0: Manifest,
       writtenThisCommit: Set[String] = Set.empty,
-      writeVersioned: Boolean = true): Unit = withCommitLock {
+      writeVersioned: Boolean = true): Unit = {
+    // Stats enrichment for files this commit introduced (footer reads,
+    // driver-side, O(new files)) runs OUTSIDE the lock — it is real I/O
+    // proportional to the batch, and the lock-hold contract is
+    // O(manifest), never O(batch); callers carry prior stats forward and
+    // the renderer drops entries for files leaving the live set.
+    val next1 =
+      if (statsCol.isEmpty) next0
+      else {
+        val fresh = (next0.dataFiles.toSet -- next0.fileStats.keySet).toSeq
+        if (fresh.isEmpty) next0
+        else next0.copy(fileStats = next0.fileStats ++ footerStats(fresh))
+      }
     // Optimistic-concurrency CAS: the mutation was computed from `prev`;
     // if another process committed meanwhile (an out-of-band Maintain
     // compact/rebucket racing the streaming writer), blindly renaming over
@@ -893,46 +953,43 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     // computed pre-drop would resurrect the dropped name (un-tombstoning
     // the very hazard the tombstone list prevents) — so schema, dropped
     // columns, and bucket count all participate in the comparison.
-    val disk = readManifest()
-    if (disk.lastBatchId != prev.lastBatchId ||
-        disk.dataFiles.toSet != prev.dataFiles.toSet ||
-        disk.tableSchema != prev.tableSchema ||
-        disk.droppedColumns != prev.droppedColumns ||
-        disk.bucketCount != prev.bucketCount)
-      throw new java.util.ConcurrentModificationException(
-        s"manifest advanced during this operation (was batch ${prev.lastBatchId}, " +
-          s"now ${disk.lastBatchId}) — re-run against the current state")
-    // stats enrichment for files this commit introduced (footer reads,
-    // driver-side, O(new files)); callers carry prior stats forward and
-    // the renderer drops entries for files leaving the live set
-    val next1 =
-      if (statsCol.isEmpty) next0
-      else {
-        val fresh = (next0.dataFiles.toSet -- next0.fileStats.keySet).toSeq
-        if (fresh.isEmpty) next0
-        else next0.copy(fileStats = next0.fileStats ++ footerStats(fresh))
+    val deletable: Seq[String] = withCommitLock {
+      val disk = readManifest()
+      if (disk.lastBatchId != prev.lastBatchId ||
+          disk.dataFiles.toSet != prev.dataFiles.toSet ||
+          disk.tableSchema != prev.tableSchema ||
+          disk.droppedColumns != prev.droppedColumns ||
+          disk.bucketCount != prev.bucketCount)
+        throw new java.util.ConcurrentModificationException(
+          s"manifest advanced during this operation (was batch ${prev.lastBatchId}, " +
+            s"now ${disk.lastBatchId}) — re-run against the current state")
+      val newLive = next1.dataFiles.toSet
+      val tombstones =
+        (prev.removed ++
+          ((prev.dataFiles.toSet ++ writtenThisCommit) -- newLive)).distinct
+      if (!autoVacuum) {
+        commitManifest(next1.copy(removed = tombstones), writeVersioned)
+        Nil
+      } else {
+        val versions = (manifestVersions() :+ next1.lastBatchId).distinct.sorted
+        val keep = versions.takeRight(retainManifests).toSet
+        val retainedLives: Set[String] = keep
+          .filter(v => v != next1.lastBatchId)
+          .flatMap { v =>
+            parseManifestIfExists(Paths.get(root, s"manifest-v$v.json"))
+              .map(_.dataFiles).getOrElse(Nil)
+          }
+        val del = tombstones
+          .filterNot(f => newLive.contains(f) || retainedLives.contains(f))
+        commitManifest(next1.copy(removed = tombstones.diff(del)), writeVersioned)
+        versions.filterNot(keep)
+          .foreach(v => Files.deleteIfExists(Paths.get(root, s"manifest-v$v.json")))
+        del
       }
-    val newLive = next1.dataFiles.toSet
-    val tombstones =
-      (prev.removed ++
-        ((prev.dataFiles.toSet ++ writtenThisCommit) -- newLive)).distinct
-    if (!autoVacuum) {
-      commitManifest(next1.copy(removed = tombstones), writeVersioned)
-      return
     }
-    val versions = (manifestVersions() :+ next1.lastBatchId).distinct.sorted
-    val keep = versions.takeRight(retainManifests).toSet
-    val retainedLives: Set[String] = keep
-      .filter(v => v != next1.lastBatchId)
-      .flatMap { v =>
-        parseManifestIfExists(Paths.get(root, s"manifest-v$v.json"))
-          .map(_.dataFiles).getOrElse(Nil)
-      }
-    val deletable = tombstones
-      .filterNot(f => newLive.contains(f) || retainedLives.contains(f))
-    commitManifest(next1.copy(removed = tombstones.diff(deletable)), writeVersioned)
-    versions.filterNot(keep)
-      .foreach(v => Files.deleteIfExists(Paths.get(root, s"manifest-v$v.json")))
+    // Tombstone deletions run AFTER lock release: the files are already
+    // invisible from every retained manifest, so no reader or writer can
+    // resurrect them, and the lock hold stays free of O(deletable) I/O.
     deletable.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
   }
 
@@ -975,9 +1032,15 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       try {
         walk.iterator().asScala.toSeq.reverse.foreach { p =>
           if (Files.isRegularFile(p)) {
-            if (!live.contains(p.toAbsolutePath.normalize) &&
-              (graceMs <= 0L ||
-                Files.getLastModifiedTime(p).toMillis < cutoff)) Files.delete(p)
+            // a concurrent writer's commitAndGc may delete the same
+            // tombstoned file first — a vanished file is a finished job,
+            // not a reason to abort the deep clean mid-walk
+            try {
+              if (!live.contains(p.toAbsolutePath.normalize) &&
+                (graceMs <= 0L ||
+                  Files.getLastModifiedTime(p).toMillis < cutoff))
+                Files.deleteIfExists(p)
+            } catch { case _: java.nio.file.NoSuchFileException => () }
           } else if (Files.isDirectory(p) && p != dataRoot) {
             // empty-dir pruning honors the grace window too: an in-flight
             // write's _temporary scaffolding is EMPTY directories — the
@@ -985,12 +1048,16 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
             // (the committer then dies on the vanished dir). A dir can
             // also gain a child between check and delete: skip, don't
             // throw (it stopped being garbage).
-            val ls = Files.list(p)
-            val empty = try !ls.iterator().hasNext finally ls.close()
-            if (empty && (graceMs <= 0L ||
-                Files.getLastModifiedTime(p).toMillis < cutoff))
-              try Files.deleteIfExists(p)
-              catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+            try {
+              val ls = Files.list(p)
+              val empty = try !ls.iterator().hasNext finally ls.close()
+              if (empty && (graceMs <= 0L ||
+                  Files.getLastModifiedTime(p).toMillis < cutoff))
+                Files.deleteIfExists(p)
+            } catch {
+              case _: java.nio.file.DirectoryNotEmptyException => ()
+              case _: java.nio.file.NoSuchFileException => () // racer pruned it
+            }
           }
         }
       } finally walk.close()

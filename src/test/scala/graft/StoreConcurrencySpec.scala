@@ -114,4 +114,39 @@ class StoreConcurrencySpec extends SparkSpec {
       "commit should break the stale lock and proceed")
     assert(!java.nio.file.Files.exists(lock), "lock released after commit")
   }
+
+  test("release deletes only its OWN lock: a successor's lock survives a slow holder's exit") {
+    val root = tmpDir("ownlock") + "/t"
+    val t = new IcebergLikeTable(root, numBuckets = 2, emptySchema = schema)
+    val lock = java.nio.file.Paths.get(root, "commit.lock")
+    // simulate: while this holder runs, a breaker declares it stale and
+    // replaces the lock with its own token
+    StoreTestAccess.underCommitLock(t) {
+      java.nio.file.Files.write(lock, "successor-token".getBytes)
+    }
+    assert(java.nio.file.Files.exists(lock),
+      "the outgoing holder must not delete a lock it no longer owns")
+    assert(new String(java.nio.file.Files.readAllBytes(lock)) == "successor-token")
+    java.nio.file.Files.delete(lock)
+  }
+
+  test("manifest swap is fenced: a holder whose lock was broken mid-commit aborts") {
+    val root = tmpDir("fence") + "/t"
+    val t = new IcebergLikeTable(root, numBuckets = 2, emptySchema = schema)
+    t.merge(Seq(("a", 1)).toDF("conv_id", "n"), "conv_id", 0L)
+    val lock = java.nio.file.Paths.get(root, "commit.lock")
+    val m = t.readManifest()
+    intercept[java.util.ConcurrentModificationException] {
+      StoreTestAccess.underCommitLock(t) {
+        // breaker stole the lock between this holder's CAS check and its
+        // manifest swap — the swap must abort, not commit a stale view
+        java.nio.file.Files.write(lock, "thief".getBytes)
+        StoreTestAccess.swapManifest(t)(m.copy(lastBatchId = 99L))
+      }
+    }
+    assert(t.readManifest().lastBatchId == 0L, "no split-brain commit landed")
+    java.nio.file.Files.deleteIfExists(lock)
+    // the loser is safe to re-run: a fresh attempt against current state wins
+    assert(t.merge(Seq(("b", 2)).toDF("conv_id", "n"), "conv_id", 1L))
+  }
 }
