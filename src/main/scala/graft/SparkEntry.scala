@@ -110,6 +110,10 @@ object SparkEntry {
     // stream-stream LEFT OUTER interval join: null rows flushed by a real
     // advancing watermark (state-eviction semantics, sentinel-closed)
     "j5_stream_outer" -> (StreamQueries.j5StreamOuter _),
+    // stream-stream LEFT SEMI interval join (existence, state-deduped)
+    "j6_stream_semi" -> (StreamQueries.j6StreamSemi _),
+    // sliding-window streaming agg (overlapping-window state), sentinel-closed
+    "w2_stream_sliding" -> (StreamQueries.w2StreamSliding _),
     // dropDuplicatesWithinWatermark over a 3x-duplicated stream == DISTINCT
     "dedup_stream_watermark" -> (StreamQueries.dedupStreamWatermark _),
     // aggregate view maintained from the change feed (delta view
@@ -335,6 +339,8 @@ object SparkEntry {
     "j3_stream_interval" -> StreamQueries.j3StreamIntervalSql,
     "j4_stream_static" -> StreamQueries.j4StreamStaticSql,
     "j5_stream_outer" -> StreamQueries.j5StreamOuterSql,
+    "j6_stream_semi" -> StreamQueries.j6StreamSemiSql,
+    "w2_stream_sliding" -> StreamQueries.w2StreamSlidingSql,
     "dedup_stream_watermark" -> StreamQueries.dedupStreamWatermarkSql,
     "mv_maintain" -> StreamQueries.mvMaintainSql,
     "corpus_ingest" -> StreamQueries.corpusIngestSql,

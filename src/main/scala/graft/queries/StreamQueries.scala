@@ -530,6 +530,54 @@ object StreamQueries {
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
        FROM events GROUP BY 1"""
 
+  // ---- streaming SLIDING windows (append mode, watermark-closed) ------
+  private val slidingCache = new FixtureCache[String]()
+
+  /** The sliding analog of [[runWindowPipeline]]: 10-minute windows
+    * sliding every 5 — each event feeds TWO overlapping windows' state,
+    * the state-store shape tumbling windows never exercise. Same
+    * machinery otherwise: time-ordered micro-batches, 1-minute
+    * watermark, far-future sentinel flushing every real window (the
+    * sentinel's own two windows never close and never reach the sink).
+    */
+  private def runSlidingPipeline(s: SparkSession, d: String): String =
+    slidingCache.getOrElseUpdate((s, d)) {
+      locally({
+        import s.implicits._
+        val tmp = Files.createTempDirectory("graft-sliding-q").toString
+        val inDir = s"$tmp/in"
+        val src = Tables.events(s, d).select(col("ts"))
+        src.repartitionByRange(4, col("ts")).write.parquet(inDir)
+        val stamped = stampAscending(inDir)
+        val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
+        appendSentinelLast(inDir, stamped,
+          Seq(Tuple1(new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000)))
+            .toDF("ts"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL("ts timestamp")
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val outDir = s"$tmp/out"
+        val q = stream.withWatermark("ts", "1 minute")
+          .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(unix_seconds(col("window.start")).as("window_start_s"),
+            col("n_events"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .format("parquet").option("path", outDir)
+          .start()
+        runAndStop(q)
+        outDir
+      })
+    }
+
+  /** Streaming sliding window ≡ the batch w2 (same DuckDB unnest oracle). */
+  def w2StreamSliding(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(runSlidingPipeline(s, d))
+      .select(col("window_start_s"), col("n_events"))
+
+  val w2StreamSlidingSql: String = WindowQueries.w2SlidingSql
+
   // ---- streaming SESSION windows (append mode, watermark-closed) ------
   private val sessionCache = new FixtureCache[String]()
 
@@ -862,6 +910,52 @@ object StreamQueries {
        FROM b LEFT JOIN a ON b.conv_id = a.src_conv_id
          AND b.buy_ts >= a.src_ts
          AND b.buy_ts <= a.src_ts + INTERVAL 24 HOUR"""
+
+  // ---- J6: stream-stream LEFT SEMI interval join ----------------------
+  /** The existence form of j3: purchases that HAD a signup/click from
+    * the same user in the preceding 24 h — emitted once however many
+    * sources match (semi-join dedup is the streaming state's job, not a
+    * downstream DISTINCT). A matched left row emits as found, an
+    * unmatched one never emits, so no sentinel machinery is needed and
+    * the drained sink equals the batch EXISTS — the DuckDB oracle.
+    */
+  def j6StreamSemi(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-sssemi-q").toString
+    val inDir = s"$tmp/in"
+    eventsAsTurns(s, d).repartitionByRange(4, col("ts")).write.parquet(inDir)
+    def side() = s.readStream.schema(Schemas.turn)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val buys = side().filter(col("role") === "purchase")
+      .select(col("conv_id"), col("turn_idx").as("buy_idx"),
+        col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "3650 days")
+    val srcs = side().filter(col("role").isin("signup", "click"))
+      .select(col("conv_id").as("src_conv_id"), col("ts").as("src_ts"))
+      .withWatermark("src_ts", "3650 days")
+    val joined = buys.join(srcs,
+      col("conv_id") === col("src_conv_id") &&
+        col("buy_ts") >= col("src_ts") &&
+        col("buy_ts") <= col("src_ts") + expr("interval 24 hours"),
+      "left_semi")
+      .select(col("conv_id"), col("buy_idx").cast("long").as("buy_idx"),
+        unix_micros(col("buy_ts")).as("buy_ts_us"))
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .format("parquet").option("path", s"$tmp/out")
+      .start()
+    runAndStop(q)
+    s.read.schema(joined.schema).parquet(s"$tmp/out")
+  }
+
+  val j6StreamSemiSql: String =
+    """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                         event_id AS turn_idx, event_type AS role, ts
+                  FROM events)
+       SELECT b.conv_id, b.turn_idx AS buy_idx, epoch_us(b.ts) AS buy_ts_us
+       FROM t b WHERE b.role = 'purchase' AND EXISTS (
+         SELECT 1 FROM t a
+         WHERE a.conv_id = b.conv_id AND a.role IN ('signup','click')
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR)"""
 
   // ---- streaming dedup within watermark -------------------------------
   /** `dropDuplicatesWithinWatermark` over a deliberately duplicated
