@@ -153,6 +153,8 @@ object SparkEntry {
     "wf_rank_funcs" -> (RelationalQueries.wfRankFuncs _),
     "wf_dist_funcs" -> (RelationalQueries.wfDistFuncs _),
     "pivot_counts" -> (RelationalQueries.pivotCounts _),
+    "unpivot_counts" -> (RelationalQueries.unpivotCounts _),
+    "hof_fns" -> (TextQueries.hofFns _),
     // IVF ANN (deterministic coarse centroids → probed inverted lists)
     "ann_ivf" -> ((s, d) => graft.ann.Ann.ivfTopK(
       Tables.embeddings(s, d), queryId = 0L, k = 10,
@@ -243,6 +245,8 @@ object SparkEntry {
     "redact_pii" -> (TextQueries.redactPii _),
     "top_terms" -> (TextQueries.topTerms _),
     "repetition_ratio" -> (TextQueries.repetitionRatio _),
+    "dup_spans" -> ((s, d) => TextQueries.dupSpans(s, d)),
+    "strip_spans" -> (TextQueries.stripSpans _),
     // The dedup pipeline's actual OUTPUT: keep each duplicate class's
     // representative (cluster_id == doc_id) plus all unclustered docs —
     // candidates → verified pairs → connected components → filter,
@@ -361,6 +365,8 @@ object SparkEntry {
     "wf_rank_funcs" -> RelationalQueries.wfRankFuncsSql,
     "wf_dist_funcs" -> RelationalQueries.wfDistFuncsSql,
     "pivot_counts" -> RelationalQueries.pivotCountsSql,
+    "unpivot_counts" -> RelationalQueries.unpivotCountsSql,
+    "hof_fns" -> TextQueries.hofFnsSql,
     "ann_ivf" -> graft.ann.Ann.ivfTopKSql(queryId = 0L, k = 10,
       numCentroids = 16, nProbe = 4),
     "ann_ivf_trained" -> annBruteforceSql, // full probe ≡ brute force (exact)
@@ -388,6 +394,8 @@ object SparkEntry {
     "source_cap" -> TextQueries.sourceCapSql,
     "redact_pii" -> TextQueries.redactPiiSql,
     "top_terms" -> TextQueries.topTermsSql,
+    "dup_spans" -> TextQueries.dupSpansSql,
+    "strip_spans" -> TextQueries.stripSpansSql,
     "repetition_ratio" -> TextQueries.repetitionRatioSql,
     "dedup_filtered" ->
       s"""SELECT doc_id FROM ($dedupClustersSql) WHERE doc_id = cluster_id""",

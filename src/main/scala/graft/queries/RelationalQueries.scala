@@ -359,6 +359,25 @@ object RelationalQueries {
        count(*) FILTER (event_type = 'view') AS n_view
        FROM events GROUP BY 1"""
 
+  /** Unpivot (melt) — the wide→long inverse of [[pivotCounts]]: the five
+    * per-type count columns fold back into (event_type, n) rows via a
+    * single `Expand` node (each input row emits 5 rows in place — a
+    * narrow, codegen'd operator: no shuffle beyond the pivot's own
+    * aggregate, no join against a value dimension). Zero-count cells are
+    * dropped so the result is exactly the sparse GROUP BY the oracle
+    * computes — round-tripping pivot→unpivot back to the long form.
+    */
+  def unpivotCounts(s: SparkSession, d: String): DataFrame =
+    pivotCounts(s, d)
+      .unpivot(Array(col("user_id")), "event_type", "n")
+      .select(col("user_id"),
+        expr("substring(event_type, 3)").as("event_type"), col("n"))
+      .filter(col("n") > 0)
+
+  val unpivotCountsSql: String =
+    """SELECT user_id, event_type, count(*) AS n
+       FROM events GROUP BY 1, 2"""
+
   /** Distribution window functions (ntile / percent_rank / cume_dist /
     * nth_value) over each user's event timeline — completes the window-
     * function surface beyond ranks/offsets (wf_rank_funcs).

@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines over the
@@ -309,6 +310,191 @@ object TextQueries {
         concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Shingle → duplicate-shingle hits: (doc_id, pos) of every k-token
+    * shingle that also occurs in at least one OTHER document. The
+    * duplicate test is `min(doc_id) < max(doc_id)` per shingle — exact
+    * for "≥2 distinct docs" with a plain partial-agg'd hash aggregate,
+    * no count-distinct expansion. `hashKeys=true` (the at-scale form)
+    * shuffles 8-byte xxhash64 keys instead of the shingle strings; the
+    * oracle runs the engine-neutral string form and DupSpanSpec pins
+    * both forms identical.
+    */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      expr(s"regexp_extract_all(lower(text), '$wordPat', 0)").as("w"))
+
+  private def shingleHits(docs: DataFrame, k: Int,
+      hashKeys: Boolean): DataFrame = {
+    val sh = docs.filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - (k - 1)),
+        i => struct(i.cast("long").as("pos"),
+          array_join(slice(col("w"), i, lit(k)), " ").as("sh")))).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"),
+        (if (hashKeys) xxhash64(col("e.sh")) else col("e.sh")).as("sh"))
+    val dup = sh.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") < col("mx")).select("sh")
+    sh.join(dup, Seq("sh")).select("doc_id", "pos")
+  }
+
+  /** Cross-document duplicate SPANS — exact substring dedup in the style
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): token spans ≥ k that occur verbatim in more than
+    * one document, as (doc_id, island, span_start, span_end) in 1-based
+    * token positions. Suffix arrays are the single-machine tool; the
+    * distributed form is shingle-keyed: any shared span of length ≥ k
+    * is a run of shared k-shingles, so duplicate-shingle hits merged
+    * into maximal islands (gaps-and-islands over a per-doc window,
+    * running max of span end) recover exactly the shared spans. Cost
+    * shape at 100 TB: one explode (|tokens| rows), one hash agg + one
+    * join both keyed on the shingle (8-byte hashed in the scale form),
+    * one per-doc window over hit positions only (hits ≪ tokens on a
+    * healthy corpus). Document-internal repeats are NOT flagged (the
+    * min<max test is cross-doc, matching the dedup use case).
+    */
+  def dupSpans(s: SparkSession, d: String,
+      hashKeys: Boolean = false): DataFrame =
+    dupSpansOver(Tables.documents(s, d), 8, hashKeys)
+
+  /** [[dupSpans]] over any (doc_id, text) frame — the composable form. */
+  def dupSpansOver(rawDocs: DataFrame, k: Int = 8,
+      hashKeys: Boolean = false): DataFrame = {
+    val hits = shingleHits(tokenized(rawDocs), k, hashKeys)
+    val wprev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wrun = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("b", when(col("pos") <=
+          coalesce(max(col("pos") + lit(k - 1)).over(wprev), lit(-1L)), 0L)
+        .otherwise(1L))
+      .withColumn("island", sum(col("b")).over(wrun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_shingles"))
+  }
+
+  private val dupSpansCtes: String =
+    """WITH docs AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         FROM documents),
+       shl AS (
+         SELECT doc_id,
+           [struct_pack(pos := i, sh := array_to_string(w[i:i+7], ' '))
+            for i in generate_series(1, len(w) - 7)] AS shs
+         FROM docs WHERE len(w) >= 8),
+       sh AS (SELECT doc_id, unnest(shs, recursive := true) FROM shl),
+       dup AS (SELECT sh FROM sh GROUP BY sh HAVING min(doc_id) < max(doc_id)),
+       hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup d ON s.sh = d.sh),
+       brk AS (
+         SELECT doc_id, pos,
+           CASE WHEN pos <= coalesce(max(pos + 7) OVER
+             (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           THEN 0 ELSE 1 END AS b
+         FROM hits),
+       isl AS (
+         SELECT doc_id, pos,
+           sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM brk)"""
+
+  val dupSpansSql: String = dupSpansCtes +
+    """
+       SELECT doc_id, CAST(island AS BIGINT) AS island,
+         min(pos) AS span_start, max(pos) + 7 AS span_end,
+         count(*) AS n_shingles
+       FROM isl GROUP BY doc_id, island"""
+
+  /** Duplicate-span REMOVAL: every token inside a cross-document
+    * duplicate span is dropped from every document (the simplification
+    * of Lee et al.'s remove-all-but-one that keeps the operator a pure
+    * function of the span set), and the survivors re-join to
+    * `clean_text`. Documents left with zero tokens disappear — the
+    * boilerplate-only-doc outcome. The span list per doc is tiny
+    * (collect_list of merged islands), so the strip itself is a narrow
+    * nested-lambda projection: tokens-with-index `transform`, span
+    * containment `exists`, `array_join` — no explode, no second pass
+    * over the corpus.
+    */
+  def stripSpans(s: SparkSession, d: String): DataFrame =
+    stripSpansOver(Tables.documents(s, d), 8)
+
+  /** [[stripSpans]] over any (doc_id, text) frame. */
+  def stripSpansOver(rawDocs: DataFrame, k: Int = 8,
+      hashKeys: Boolean = false): DataFrame = {
+    val docs = tokenized(rawDocs)
+    val spans = dupSpansOver(rawDocs, k, hashKeys).groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val noSpans = array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    val inSpan = (e: Column) => exists(col("spans"),
+      sp => e.getField("i") >= sp.getField("span_start") &&
+        e.getField("i") <= sp.getField("span_end"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"), noSpans))
+      .select(col("doc_id"), filter(
+        transform(col("w"), (t, i) =>
+          struct((i + 1).cast("long").as("i"), t.as("t"))),
+        e => !inSpan(e)).as("kept"))
+      .filter(size(col("kept")) > 0)
+      .select(col("doc_id"),
+        array_join(transform(col("kept"), e => e.getField("t")), " ")
+          .as("clean_text"))
+  }
+
+  val stripSpansSql: String = dupSpansCtes +
+    """,
+       spans AS (
+         SELECT doc_id, min(pos) AS lo, max(pos) + 7 AS hi
+         FROM isl GROUP BY doc_id, island),
+       toks AS (
+         SELECT doc_id, unnest([struct_pack(i := i, t := w[i])
+           for i in generate_series(1, len(w))], recursive := true)
+         FROM docs)
+       SELECT tk.doc_id, string_agg(tk.t, ' ' ORDER BY tk.i) AS clean_text
+       FROM toks tk
+       WHERE NOT EXISTS (SELECT 1 FROM spans s
+                         WHERE s.doc_id = tk.doc_id
+                           AND tk.i BETWEEN s.lo AND s.hi)
+       GROUP BY 1"""
+
+  /** Higher-order array functions — the array half of the scalar-fn
+    * surface (SURVEY §2.2): tokenize once, then `filter` / `transform` /
+    * `slice` / `aggregate` / `exists` over the token array. All five are
+    * codegen'd lambda expressions evaluated per row with NO explode — a
+    * pure narrow projection (no shuffle, no row multiplication), where
+    * the explode+groupBy formulation of the same answers would shuffle
+    * |tokens| rows per document.
+    */
+  def hofFns(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(col("text"), " ", -1), t => length(t) > 0)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_toks"),
+      size(filter(toks, t => length(t) > 4)).cast("long").as("n_long"),
+      array_join(transform(slice(toks, 1, 3), t => upper(t)), "|")
+        .as("head3_up"),
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .as("tok_chars"),
+      exists(toks, t => t === "the").as("has_the"))
+  }
+
+  val hofFnsSql: String =
+    """WITH t AS (SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+       FROM documents)
+       SELECT doc_id,
+         len(toks) AS n_toks,
+         len(list_filter(toks, x -> length(x) > 4)) AS n_long,
+         array_to_string(list_transform(toks[1:3], x -> upper(x)), '|')
+           AS head3_up,
+         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+           AS BIGINT) AS tok_chars,
+         list_contains(toks, 'the') AS has_the
+       FROM t"""
 
   val ngramJaccardSql: String =
     """WITH docs AS (

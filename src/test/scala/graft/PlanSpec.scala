@@ -145,6 +145,19 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("partial_count"), s"no partial agg:\n$p")
   }
 
+  test("unpivot is a narrow Expand over the pivot aggregate — no extra shuffle") {
+    val p = planOf(RelationalQueries.unpivotCounts(spark, dir))
+    assert(p.contains("Expand"), s"unpivot should plan an Expand node:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"unpivot must add no shuffle beyond the pivot's:\n$p")
+  }
+
+  test("higher-order array fns are a pure narrow projection — zero exchanges") {
+    val p = planOf(TextQueries.hofFns(spark, dir))
+    assert(!p.contains("Exchange"), s"hof projection must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("generate"), s"no explode expected:\n$p")
+  }
+
   test("CMS sketch aggregates partially before its single exchange") {
     val p = planOf(RelationalQueries.cmsCounts(spark, dir))
     // the sketch agg side: ObjectHashAggregate partial (matrix merge is
