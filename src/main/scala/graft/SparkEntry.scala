@@ -112,6 +112,7 @@ object SparkEntry {
     "j5_stream_outer" -> (StreamQueries.j5StreamOuter _),
     // stream-stream LEFT SEMI interval join (existence, state-deduped)
     "j6_stream_semi" -> (StreamQueries.j6StreamSemi _),
+    "j7_stream_anti" -> (StreamQueries.j7StreamAnti _),
     // sliding-window streaming agg (overlapping-window state), sentinel-closed
     "w2_stream_sliding" -> (StreamQueries.w2StreamSliding _),
     // dropDuplicatesWithinWatermark over a 3x-duplicated stream == DISTINCT
@@ -344,6 +345,7 @@ object SparkEntry {
     "j4_stream_static" -> StreamQueries.j4StreamStaticSql,
     "j5_stream_outer" -> StreamQueries.j5StreamOuterSql,
     "j6_stream_semi" -> StreamQueries.j6StreamSemiSql,
+    "j7_stream_anti" -> StreamQueries.j7StreamAntiSql,
     "w2_stream_sliding" -> StreamQueries.w2StreamSlidingSql,
     "dedup_stream_watermark" -> StreamQueries.dedupStreamWatermarkSql,
     "mv_maintain" -> StreamQueries.mvMaintainSql,

@@ -838,7 +838,26 @@ object StreamQueries {
     * final unmatched rows. Drained result == batch LEFT JOIN, DuckDB-
     * oracled.
     */
-  def j5StreamOuter(s: SparkSession, d: String): DataFrame = {
+  def j5StreamOuter(s: SparkSession, d: String): DataFrame =
+    runOuterInterval(s, d, anti = false)
+
+  /** Stream-stream LEFT ANTI interval join — an operator Spark's
+    * streaming engine does not offer natively (inner/outer/semi only):
+    * purchases with NO signup/click from the same user in the preceding
+    * 24 h. Composed from what it does offer, per the engine's
+    * composition rule: the watermark-evicting LEFT OUTER join of j5
+    * followed by an IS NULL filter on the right side's join key INSIDE
+    * the streaming query — so the sink only ever receives a row when
+    * the advancing watermark has PROVEN no match can still arrive and
+    * evicted the purchase unmatched. Nothing emits eagerly; the anti
+    * semantics are entirely the state machinery's eviction proof.
+    * Drained result == batch NOT EXISTS, DuckDB-oracled.
+    */
+  def j7StreamAnti(s: SparkSession, d: String): DataFrame =
+    runOuterInterval(s, d, anti = true)
+
+  private def runOuterInterval(s: SparkSession, d: String,
+      anti: Boolean): DataFrame = {
     import s.implicits._
     val tmp = Files.createTempDirectory("graft-ssouter-q").toString
     val inDir = s"$tmp/in"
@@ -878,15 +897,20 @@ object StreamQueries {
         col("role").as("src_role"), col("ts").as("src_ts"))
       .withWatermark("src_ts", "1 minute")
       .filter(col("src_role").isin("signup", "click"))
-    val joined = buys.join(srcs,
+    val outer = buys.join(srcs,
       col("conv_id") === col("src_conv_id") &&
         col("buy_ts") >= col("src_ts") &&
         col("buy_ts") <= col("src_ts") + expr("interval 24 hours"),
       "leftOuter")
-      .select(col("conv_id"), col("buy_idx").cast("long").as("buy_idx"),
-        col("src_idx").cast("long").as("src_idx"), col("src_role"),
-        unix_micros(col("buy_ts")).as("buy_ts_us"),
-        unix_micros(col("src_ts")).as("src_ts_us"))
+    val joined =
+      if (anti) outer.filter(col("src_conv_id").isNull)
+        .select(col("conv_id"), col("buy_idx").cast("long").as("buy_idx"),
+          unix_micros(col("buy_ts")).as("buy_ts_us"))
+      else outer
+        .select(col("conv_id"), col("buy_idx").cast("long").as("buy_idx"),
+          col("src_idx").cast("long").as("src_idx"), col("src_role"),
+          unix_micros(col("buy_ts")).as("buy_ts_us"),
+          unix_micros(col("src_ts")).as("src_ts_us"))
     val q = joined.writeStream.outputMode("append")
       .option("checkpointLocation", s"$tmp/ckpt")
       .format("parquet").option("path", s"$tmp/out")
@@ -895,6 +919,16 @@ object StreamQueries {
     s.read.schema(joined.schema).parquet(s"$tmp/out")
       .filter(col("conv_id") =!= "-1") // sentinel purchases' null rows
   }
+
+  val j7StreamAntiSql: String =
+    """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                         event_id AS turn_idx, event_type AS role, ts
+                  FROM events)
+       SELECT b.conv_id, b.turn_idx AS buy_idx, epoch_us(b.ts) AS buy_ts_us
+       FROM t b WHERE b.role = 'purchase' AND NOT EXISTS (
+         SELECT 1 FROM t a
+         WHERE a.conv_id = b.conv_id AND a.role IN ('signup','click')
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR)"""
 
   val j5StreamOuterSql: String =
     """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
