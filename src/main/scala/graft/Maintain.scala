@@ -12,6 +12,7 @@ import graft.store.IcebergLikeTable
   *   graft.Maintain <tableRoot> vacuum
   *   graft.Maintain <tableRoot> rebucket <n>
   *   graft.Maintain <tableRoot> drop-column <name>
+  *   graft.Maintain <tableRoot> purge-deletes <beforeBatchId>
   *   graft.Maintain <tableRoot> versions | stats | schema
   *
   * All mutations are single-writer atomic manifest commits (safe to
@@ -21,7 +22,7 @@ object Maintain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: graft.Maintain <tableRoot> <op> [arg]")
     val (root, op) = (args(0), args(1))
-    if (op == "rebucket" || op == "drop-column")
+    if (op == "rebucket" || op == "drop-column" || op == "purge-deletes")
       require(args.length >= 3, s"usage: graft.Maintain <tableRoot> $op <arg>")
     // spark-submit provides spark.master; direct runs fall back to local
     val builder = SparkSession.builder()
@@ -45,6 +46,12 @@ object Maintain {
         t.rebucket(args(2).toInt); println(s"buckets=${t.currentBuckets()}")
       case "drop-column" =>
         t.dropColumn(args(2)); println(s"schema=${t.schema().fieldNames.mkString(",")}")
+      case "purge-deletes" =>
+        // delete-marker retention: markers with seq <= the floor age out;
+        // CDC consumers checkpointed before the floor may miss those
+        // deletes (same window contract as delta retention / vacuum)
+        t.purgeDeletes(args(2).toLong)
+        println(s"lastBatchId=${t.readManifest().lastBatchId}")
       case "versions" =>
         println(t.manifestVersions().mkString(","))
       case "stats" =>

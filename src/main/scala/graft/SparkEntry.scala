@@ -99,6 +99,7 @@ object SparkEntry {
     "topk_per_key" -> (StreamQueries.topkPerKey _),
     // incremental/CDC read: changed keys at current state, post-v files only
     "cdc_read" -> (StreamQueries.cdcRead _),
+    "store_delete" -> (StreamQueries.storeDelete _),
     // replica built ONLY from the change feed == full snapshot (s1 oracle)
     "cdc_follow" -> (StreamQueries.cdcFollow _),
     // one change feed fanned out to 2 sharded replicas (key-routed MERGEs)
@@ -338,6 +339,7 @@ object SparkEntry {
     "q1_sql_lookup" -> StreamQueries.q1SqlLookupSql,
     "topk_per_key" -> StreamQueries.topkPerKeySql,
     "cdc_read" -> StreamQueries.cdcReadSql,
+    "store_delete" -> StreamQueries.storeDeleteSql,
     "cdc_follow" -> StreamQueries.s1StreamSnapshotSql,
     "cdc_stream" -> StreamQueries.s1StreamSnapshotSql, // replica == full snapshot
     "cdc_fanout" -> StreamQueries.cdcFanoutSql,

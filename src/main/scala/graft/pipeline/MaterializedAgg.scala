@@ -83,10 +83,18 @@ object MaterializedAgg {
       // is O(files in touched buckets), not O(replica)
       val old = replica.readForKeys(up.select(src.keyCol))
         .join(up.select(src.keyCol), Seq(src.keyCol), "left_semi")
+      // deleted keys contribute only their (−old) side: the pre-image
+      // vanishes from its group, nothing is added (a delete marker row
+      // carries no payload to add — and its group column is null anyway)
+      val dc = IcebergLikeTable.DeleteCol
+      val ups =
+        if (up.columns.contains(dc))
+          up.filter(!coalesce(col(dc), lit(false))).drop(dc)
+        else up
       def contrib(d: DataFrame, sign: Long): DataFrame = d.select(
         col(groupCol) +: lit(sign).as("n") +:
           sums.map { case (c, as) => (col(c).cast("long") * sign).as(as) }: _*)
-      contrib(old, -1L).unionByName(contrib(up, 1L))
+      contrib(old, -1L).unionByName(contrib(ups, 1L))
         .groupBy(col(groupCol))
         .agg(sum(col("n")).as("n"),
           sums.map { case (_, as) => sum(col(as)).as(as) }: _*)
@@ -110,7 +118,10 @@ object MaterializedAgg {
   }
 
   /** The view as a query result: groups whose membership dropped to zero
-    * carry `n = 0` tombstone rows (MERGE has no delete) — excluded here.
+    * carry `n = 0` tombstone rows — excluded here. (The store does have
+    * row-level deletes now; the view keeps zero-rows instead because a
+    * group at n = 0 is likely to refill, and an upsert is cheaper than a
+    * delete-marker + resurrect cycle on a hot group.)
     */
   def read(mv: IcebergLikeTable): DataFrame =
     mv.read().filter(col("n") > 0)

@@ -291,6 +291,53 @@ object StreamQueries {
     snapshotOracleView(dst.read())
   }
 
+  /** Row-level deletes through the store, end to end: batch 0 folds the
+    * full event log into snapshots; batch 1 DELETEs every conversation
+    * with conv_id ≡ 0 (mod 7) — merge-on-read markers, O(deleted keys)
+    * written, no rewrite; batch 2 re-merges (resurrects) the subset with
+    * conv_id ≡ 0 (mod 14), proving last-writer-wins across a delete.
+    * The final read must equal the batch snapshot restricted to
+    * surviving conversations — the DuckDB oracle (the one semantics a
+    * store without deletes cannot express: GDPR-style erasure with
+    * exactly-once replay still intact).
+    */
+  private val deleteCache = new FixtureCache[IcebergLikeTable]()
+
+  private def deleteSource(s: SparkSession, d: String): IcebergLikeTable =
+    deleteCache.getOrElseUpdate((s, d)) {
+      locally({
+        implicit val sp: SparkSession = s
+        val turns = eventsAsTurns(s, d)
+        val tmp = Files.createTempDirectory("graft-del-q").toString
+        val table = new IcebergLikeTable(s"$tmp/table", 8)
+        val snaps = graft.snapshot.SnapshotFold.batchSnapshots(turns)
+        table.merge(snaps, "conv_id", 0L)
+        table.delete(turns.select("conv_id").distinct()
+          .filter(col("conv_id").cast("long") % 7 === 0), 1L)
+        table.merge(snaps.filter(col("conv_id").cast("long") % 14 === 0),
+          "conv_id", 2L)
+        table
+      })
+    }
+
+  def storeDelete(s: SparkSession, d: String): DataFrame =
+    snapshotOracleView(deleteSource(s, d).read())
+
+  val storeDeleteSql: String =
+    """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                         event_id AS turn_idx, event_type AS role, ts
+                  FROM events
+                  WHERE NOT (user_id % 7 = 0 AND user_id % 14 <> 0)),
+       r AS (SELECT conv_id, turn_idx, role, row_number() OVER
+               (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rn FROM t),
+       a AS (SELECT conv_id, count(*) AS turn_count,
+                    min(epoch_us(ts)) AS first_ts_us,
+                    max(epoch_us(ts)) AS last_ts_us
+             FROM t GROUP BY conv_id)
+       SELECT a.conv_id, r.turn_idx AS last_turn_idx, r.role AS last_role,
+              a.turn_count, a.first_ts_us, a.last_ts_us
+       FROM a JOIN r ON a.conv_id = r.conv_id AND r.rn = 1"""
+
   /** Append-only event-log STORE with per-file ts_us bounds in the
     * manifest (statsCol): 4 commits split by ts quartile, so each delta
     * file carries a tight disjoint time range — the fixture for

@@ -42,7 +42,8 @@ object ChangeFeed {
     * `process` receives the coalesced changes and the version they
     * represent; it MUST complete before the checkpoint advances.
     */
-  def poll(src: IcebergLikeTable, ckpt: String)(
+  def poll(src: IcebergLikeTable, ckpt: String,
+      includeDeletes: Boolean = false)(
       process: (DataFrame, Long) => Unit): Option[Long] = {
     val last = synced(ckpt)
     val current = src.readManifest().lastBatchId
@@ -54,7 +55,7 @@ object ChangeFeed {
       // so a poll must complete within the retention window
       // (retainManifests source commits), the same contract time travel
       // has.
-      process(src.readChangesBetween(last, current), current)
+      process(src.readChangesBetween(last, current, includeDeletes), current)
       writeCheckpoint(Paths.get(ckpt), current) // offset AFTER data
       Some(current)
     }
@@ -63,19 +64,23 @@ object ChangeFeed {
   /** Poll until caught up (Trigger.AvailableNow analog). Returns the
     * number of non-empty syncs performed.
     */
-  def catchUp(src: IcebergLikeTable, ckpt: String)(
+  def catchUp(src: IcebergLikeTable, ckpt: String,
+      includeDeletes: Boolean = false)(
       process: (DataFrame, Long) => Unit): Int = {
     var n = 0
-    while (poll(src, ckpt)(process).isDefined) n += 1
+    while (poll(src, ckpt, includeDeletes)(process).isDefined) n += 1
     n
   }
 
   /** The common consumer: maintain `dst` as an exact replica of `src`
     * via the change feed — the merge is keyed by the source version, so
     * re-delivery after a crash is absorbed by merge's idempotency.
+    * Polls WITH delete markers: a key deleted at the source merges its
+    * marker into `dst`, so the replica hides it too — an upsert-only
+    * poll would leave deleted keys in the replica forever.
     */
   def syncTo(src: IcebergLikeTable, dst: IcebergLikeTable, ckpt: String): Int =
-    catchUp(src, ckpt) { (changes, v) =>
+    catchUp(src, ckpt, includeDeletes = true) { (changes, v) =>
       dst.merge(changes, dst.keyCol, v)
     }
 

@@ -3,7 +3,7 @@ package graft.replay
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 import graft.store.IcebergLikeTable
 
 /** `readStream`-able change feed of an [[IcebergLikeTable]] — the
@@ -39,14 +39,19 @@ import graft.store.IcebergLikeTable
   */
 object ChangeStream {
 
-  /** The raw upsert stream: one row per (key, commit), `__seq` = the
+  /** The raw change stream: one row per (key, commit), `__seq` = the
     * commit batch id, current committed schema (older files read evolved
-    * columns as null). `maxFilesPerTrigger` bounds micro-batch size.
+    * columns as null) plus the `__del` delete marker (null/false =
+    * upsert; true = the key was deleted by that commit — consumers that
+    * MERGE the resolved batch into another table apply the delete for
+    * free, since the marker row merges as a marker).
+    * `maxFilesPerTrigger` bounds micro-batch size.
     */
   def changes(table: IcebergLikeTable, maxFilesPerTrigger: Int = 32)(
       implicit spark: SparkSession): DataFrame = {
-    val withSeq = StructType(table.schema().fields :+
-      StructField("__seq", LongType))
+    val withSeq = StructType(table.schema().fields ++ Seq(
+      StructField("__seq", LongType),
+      StructField(IcebergLikeTable.DeleteCol, BooleanType)))
     spark.readStream
       .schema(withSeq)
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)

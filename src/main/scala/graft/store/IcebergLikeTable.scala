@@ -44,6 +44,20 @@ import graft.model.Schemas
   * top-level int/long column (e.g. `ts_us`); files without readable
   * stats are never skipped, so correctness cannot depend on the footer.
   */
+object IcebergLikeTable {
+  /** Internal delete-marker column (merge-on-read row-level deletes, the
+    * equality-delete analog): a delta row `(key, __del = true, __seq)`
+    * means "key deleted as of __seq". Snapshot reads filter marked keys
+    * out; the change feed ships the marker so downstream replicas /
+    * views apply the delete; compaction RETAINS markers (purging one
+    * would silently un-deliver the delete to lagging CDC consumers) —
+    * [[IcebergLikeTable.purgeDeletes]] is the explicit retention op.
+    * A merge batch may carry this column to mix upserts and deletes;
+    * it never enters the committed table schema.
+    */
+  val DeleteCol = "__del"
+}
+
 final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val keyCol: String = "conv_id", val maxDeltasPerBucket: Int = 8,
     val autoVacuum: Boolean = true, val emptySchema: StructType = Schemas.snapshot,
@@ -370,7 +384,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val files = m.dataFiles.map(f => s"$root/$f")
     if (files.isEmpty) emptyDf(m.tableSchema.getOrElse(emptySchema))
     else if (m.deltas.values.forall(_.isEmpty))
-      scanWith(m, files).drop("__seq")
+      dropDeleted(scanWith(m, files).drop("__seq"))
     else resolve(scanWith(m, files))
   }
 
@@ -381,9 +395,19 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
-  private def plusSeq(s: StructType): StructType = StructType(s.fields :+
+  private def plusSeq(s: StructType): StructType = StructType(s.fields ++ Seq(
     org.apache.spark.sql.types.StructField("__seq",
-      org.apache.spark.sql.types.LongType))
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField(IcebergLikeTable.DeleteCol,
+      org.apache.spark.sql.types.BooleanType)))
+
+  /** Snapshot-side delete-marker filter: files written before delete
+    * support (or upsert rows generally) read the marker as null = not
+    * deleted.
+    */
+  private def dropDeleted(df: DataFrame): DataFrame =
+    df.filter(!coalesce(col(IcebergLikeTable.DeleteCol), lit(false)))
+      .drop(IcebergLikeTable.DeleteCol)
 
   /** Scan the manifest's files under ITS committed schema (+__seq) —
     * explicit, so no footer-probe inference job, files written before a
@@ -405,7 +429,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * round-3 finding, 2.1× slower on the same fold).
     */
   private def resolve(df: DataFrame): DataFrame =
-    resolveKeepSeq(df).drop("__seq")
+    dropDeleted(resolveKeepSeq(df).drop("__seq"))
 
   /** [[resolve]] keeping each surviving row's ORIGINAL `__seq` — the
     * commit that last changed the key. Compaction/rebucket write this
@@ -453,7 +477,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val delta = hit.flatMap(b => m.deltas.getOrElse(b, Nil))
     val files = (base ++ delta).map(f => s"$root/$f")
     if (files.isEmpty) emptyDf(m.tableSchema.getOrElse(emptySchema))
-    else if (delta.isEmpty) scanWith(m, files).drop("__seq")
+    else if (delta.isEmpty) dropDeleted(scanWith(m, files).drop("__seq"))
     else resolve(scanWith(m, files))
   }
 
@@ -527,7 +551,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     else {
       val scanned = scanWith(m, keep.map(f => s"$root/$f"))
       val resolvedDf =
-        if (m.deltas.values.forall(_.isEmpty)) scanned.drop("__seq")
+        if (m.deltas.values.forall(_.isEmpty))
+          dropDeleted(scanned.drop("__seq"))
         else resolve(scanned)
       resolvedDf.where(rangePred)
     }
@@ -608,7 +633,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     if (files.isEmpty)
       emptyDf(m.tableSchema.getOrElse(emptySchema)).where(pred)
     else if (delta.isEmpty)
-      scanWith(m, files).drop("__seq").where(pred)
+      dropDeleted(scanWith(m, files).drop("__seq")).where(pred)
     else resolve(scanWith(m, files).where(pred))
   }
 
@@ -622,12 +647,17 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     "-v(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong).getOrElse(Long.MaxValue)
 
   /** Incremental (CDC) read: the CURRENT snapshot of every key whose
-    * state changed in a commit AFTER `sinceBatch` — upsert-style change
-    * feed (the engine has no deletes). This is the scale-friendly form of
-    * znap's dump/republish (reference: service/SnapshotService.scala
-    * replays the FULL key set): a downstream consumer refreshes from
-    * version v with I/O proportional to the files written since v, never
-    * a table scan.
+    * state changed in a commit AFTER `sinceBatch`. With
+    * `includeDeletes = false` (default) the feed is upsert-only — keys
+    * whose latest change is a delete are omitted and the output shape is
+    * exactly the table schema; with `true` the output carries the
+    * `__del` marker column (non-null boolean) so replicating consumers
+    * can apply deletions — a marker row merges straight back into
+    * another table ([[merge]] understands the column). This is the
+    * scale-friendly form of znap's dump/republish (reference:
+    * service/SnapshotService.scala replays the FULL key set): a
+    * downstream consumer refreshes from version v with I/O proportional
+    * to the files written since v, never a table scan.
     *
     * Why it is exact: a row's `__seq` is the commit that produced it and
     * is PRESERVED through compaction and rebucket, and every file's
@@ -638,18 +668,27 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * post-since base by compaction resolve to their true (≤ sinceBatch)
     * seq and are filtered out.
     */
-  def readChangesSince(sinceBatch: Long): DataFrame =
-    changesFrom(readManifest(), sinceBatch)
+  def readChangesSince(sinceBatch: Long,
+      includeDeletes: Boolean = false): DataFrame =
+    changesFrom(readManifest(), sinceBatch, includeDeletes)
 
   /** The change computation shared by the live and historical forms:
     * candidate files = those whose directory version exceeds `since`;
     * resolve with preserved seqs; keep rows changed after `since`.
     */
-  private def changesFrom(m: Manifest, sinceBatch: Long): DataFrame = {
+  private def changesFrom(m: Manifest, sinceBatch: Long,
+      includeDeletes: Boolean): DataFrame = {
+    val dc = IcebergLikeTable.DeleteCol
     val cand = m.dataFiles.filter(f => fileVersion(f) > sinceBatch)
-    if (cand.isEmpty) emptyDf(m.tableSchema.getOrElse(emptySchema))
-    else resolveKeepSeq(scanWith(m, cand.map(f => s"$root/$f")))
-      .where(col("__seq") > sinceBatch).drop("__seq")
+    if (cand.isEmpty) {
+      val empty = emptyDf(m.tableSchema.getOrElse(emptySchema))
+      if (includeDeletes) empty.withColumn(dc, lit(false)) else empty
+    } else {
+      val r = resolveKeepSeq(scanWith(m, cand.map(f => s"$root/$f")))
+        .where(col("__seq") > sinceBatch).drop("__seq")
+      if (includeDeletes) r.withColumn(dc, coalesce(col(dc), lit(false)))
+      else dropDeleted(r)
+    }
   }
 
   /** Historical range CDC: keys changed in (sinceBatch, toBatch] at their
@@ -658,9 +697,10 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * manifest's files contain only seqs ≤ toBatch by construction, so the
     * single `__seq > sinceBatch` filter bounds the range exactly.
     */
-  def readChangesBetween(sinceBatch: Long, toBatch: Long): DataFrame = {
+  def readChangesBetween(sinceBatch: Long, toBatch: Long,
+      includeDeletes: Boolean = false): DataFrame = {
     require(sinceBatch <= toBatch, s"empty range ($sinceBatch, $toBatch]")
-    changesFrom(retainedManifest(toBatch), sinceBatch)
+    changesFrom(retainedManifest(toBatch), sinceBatch, includeDeletes)
   }
 
   def lineage(): DataFrame = {
@@ -710,7 +750,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     // so the latest writer's nulls win for its keys, consistently.
     val current = m.tableSchema.getOrElse(emptySchema)
     val incoming = StructType(updates.schema.fields
-      .filterNot(f => f.name == "__seq" || f.name == "__bucket"))
+      .filterNot(f => f.name == "__seq" || f.name == "__bucket" ||
+        f.name == IcebergLikeTable.DeleteCol))
     require(incoming.exists(_.name == keyCol),
       s"merge batch lacks key column '$keyCol'")
     incoming.foreach { f =>
@@ -780,6 +821,52 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       droppedColumns = m.droppedColumns, fileStats = m.fileStats),
       writtenThisCommit = newDeltaFiles.values.flatten.toSet)
     true
+  }
+
+  /** Row-level DELETE by key — merge-on-read equality-delete markers:
+    * writes a delta row `(key, __del = true, __seq = batchId)` per key,
+    * O(batch) like any merge, no file rewrite. Snapshot reads hide the
+    * keys immediately; a later merge of the same key resurrects it
+    * (last-writer-wins); the change feed ships the marker
+    * (`readChangesSince(v, includeDeletes = true)`) so replicas and
+    * maintained views apply it. Compaction RETAINS markers — a lagging
+    * CDC consumer must still learn of the delete — and
+    * [[purgeDeletes]] is the explicit op that lets them age out.
+    * Idempotent under the same batchId like [[merge]] (it IS a merge).
+    */
+  def delete(keys: DataFrame, batchId: Long): Boolean =
+    merge(keys.select(col(keyCol)).distinct()
+      .withColumn(IcebergLikeTable.DeleteCol, lit(true)), keyCol, batchId)
+
+  /** Retention maintenance for delete markers: rewrite the table keeping
+    * every live row (preserved `__seq`) but dropping markers with
+    * `__seq <= beforeBatch`. After this, a CDC read from a version older
+    * than `beforeBatch` may MISS those deletions — the caller owns the
+    * same window contract the delta-retention/vacuum docs state for
+    * lagging consumers. One atomic commit, conflict-checked like any
+    * other; logical snapshot content is unchanged.
+    */
+  def purgeDeletes(beforeBatch: Long): Unit = {
+    val dc = IcebergLikeTable.DeleteCol
+    val m = readManifest()
+    if (m.dataFiles.isEmpty) return
+    val nb = bucketsOf(m)
+    val baseName = s"data/purge-v${m.lastBatchId}"
+    val dirRel = Iterator.from(0)
+      .map(i => if (i == 0) baseName else s"$baseName-r$i")
+      .find(n => !Files.exists(Paths.get(root, n)) &&
+        !m.dataFiles.exists(_.startsWith(n + "/"))).get
+    val dir = s"$root/$dirRel"
+    resolveKeepSeq(scanWith(m, m.dataFiles.map(f => s"$root/$f")))
+      .filter(!(coalesce(col(dc), lit(false)) &&
+        col("__seq") <= lit(beforeBatch)))
+      .withColumn("__bucket", bucketExpr(keyCol, nb))
+      .repartition(math.min(nb,
+        math.max(spark.sparkContext.defaultParallelism, 32)), col("__bucket"))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(dir)
+    val newBase = listBucketFiles(dir, dirRel)
+    commitAndGc(m, m.copy(buckets = newBase, deltas = Map.empty))
   }
 
   /** Iceberg-style column drop: METADATA-ONLY — the committed schema
