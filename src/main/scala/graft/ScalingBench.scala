@@ -125,6 +125,26 @@ object ScalingBench {
           best { noop(t.read()) }
         } finally { snaps.unpersist(); Bench.rmrf(tmp) }
       }),
+      // same read with row-level delete markers present (1% of keys
+      // deleted in a 5th commit): quantifies the marker-filter cost the
+      // delete feature added to every resolution read
+      "store_read_del" -> (() => {
+        implicit val sp: org.apache.spark.sql.SparkSession = spark
+        val tmp = java.nio.file.Files.createTempDirectory("graft-storereadd").toString
+        val snaps = SnapshotFold.batchSnapshots(spark.read.parquet(SharedInput))
+          .persist()
+        try {
+          val t = new graft.store.IcebergLikeTable(s"$tmp/t", 64,
+            inlineCompaction = false, maxDeltasPerBucket = 1000)
+          (0 until 4).foreach { b =>
+            t.merge(snaps.where(pmod(hash(col("conv_id")), lit(4)) === b),
+              "conv_id", b.toLong)
+          }
+          t.delete(snaps.select("conv_id")
+            .where(pmod(hash(col("conv_id")), lit(100)) === 0), 4L)
+          best { noop(t.read()) }
+        } finally { snaps.unpersist(); Bench.rmrf(tmp) }
+      }),
       "window_agg" -> (() => best {
         noop(spark.read.parquet(SharedInput)
           .groupBy(window(col("ts"), "5 minutes"))
