@@ -175,15 +175,26 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
   /** `fileStats` maps a live data file to its (min, max) bounds of
     * [[statsCol]] — absent entries mean "unknown, never skip".
     */
+  /** `lastDeleteBatch` / `purgedDeletesTo` track whether any live file can
+    * carry a delete marker (`lastDeleteBatch > purgedDeletesTo`): while
+    * false, reads use the exact pre-delete scan shape — no marker column
+    * in the read schema, no filter, nothing extra in the resolution
+    * struct (measured: the unconditionally widened schema cost ~8-19% on
+    * the 48M-row store_read microbench; see BENCH.md). A delete commit
+    * raises `lastDeleteBatch`; [[purgeDeletes]] raises `purgedDeletesTo`.
+    */
   final case class Manifest(lastBatchId: Long, buckets: Map[Int, Seq[String]],
       deltas: Map[Int, Seq[String]], lineageFiles: Seq[String],
       signalFiles: Seq[String], removed: Seq[String] = Nil,
       tableSchema: Option[StructType] = None,
       bucketCount: Option[Int] = None,
       droppedColumns: Seq[String] = Nil,
-      fileStats: Map[String, (Long, Long)] = Map.empty) {
+      fileStats: Map[String, (Long, Long)] = Map.empty,
+      lastDeleteBatch: Long = -1L,
+      purgedDeletesTo: Long = -1L) {
     def dataFiles: Seq[String] =
       (buckets.values.flatten ++ deltas.values.flatten).toSeq
+    def hasDeletes: Boolean = lastDeleteBatch > purgedDeletesTo
   }
 
   /** The current committed schema (declared schema before any commit). */
@@ -224,6 +235,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     var dropped: Seq[String] = Nil
     var schemaOpt: Option[StructType] = None
     var bucketsOpt: Option[Int] = None
+    var lastDel = -1L
+    var purgedTo = -1L
     val stats = scala.collection.mutable.Map[String, (Long, Long)]()
     lines.foreach {
       case l if l.startsWith("lastBatchId=") => last = l.substring(12).toLong
@@ -240,6 +253,10 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
         removed = l.substring(8).split(",").filter(_.nonEmpty).toSeq
       case l if l.startsWith("droppedCols=") =>
         dropped = l.substring(12).split(",").filter(_.nonEmpty).toSeq
+      case l if l.startsWith("lastDeleteBatch=") =>
+        lastDel = l.substring(16).toLong
+      case l if l.startsWith("purgedDeletesTo=") =>
+        purgedTo = l.substring(16).toLong
       case l if l.startsWith("bucket:") =>
         val Array(k, v) = l.substring(7).split("=", 2)
         buckets(k.toInt) = v.split(",").filter(_.nonEmpty).toSeq
@@ -257,7 +274,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     }
     Manifest(last, ListMap(buckets.toSeq.sortBy(_._1): _*),
       ListMap(deltas.toSeq.sortBy(_._1): _*), lineage, signals, removed,
-      schemaOpt, bucketsOpt, dropped, stats.toMap)
+      schemaOpt, bucketsOpt, dropped, stats.toMap, lastDel, purgedTo)
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -270,6 +287,10 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     sb.append(s"removed=${m.removed.mkString(",")}\n")
     if (m.droppedColumns.nonEmpty)
       sb.append(s"droppedCols=${m.droppedColumns.mkString(",")}\n")
+    if (m.lastDeleteBatch >= 0L)
+      sb.append(s"lastDeleteBatch=${m.lastDeleteBatch}\n")
+    if (m.purgedDeletesTo >= 0L)
+      sb.append(s"purgedDeletesTo=${m.purgedDeletesTo}\n")
     m.buckets.toSeq.sortBy(_._1).foreach { case (b, fs) =>
       sb.append(s"bucket:$b=${fs.mkString(",")}\n")
     }
@@ -395,18 +416,25 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
   private def emptyDf(schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
-  private def plusSeq(s: StructType): StructType = StructType(s.fields ++ Seq(
-    org.apache.spark.sql.types.StructField("__seq",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField(IcebergLikeTable.DeleteCol,
-      org.apache.spark.sql.types.BooleanType)))
+  private def plusSeq(s: StructType, withDel: Boolean): StructType = {
+    val seq = StructType(s.fields :+
+      org.apache.spark.sql.types.StructField("__seq",
+        org.apache.spark.sql.types.LongType))
+    if (!withDel) seq
+    else StructType(seq.fields :+
+      org.apache.spark.sql.types.StructField(IcebergLikeTable.DeleteCol,
+        org.apache.spark.sql.types.BooleanType))
+  }
 
   /** Snapshot-side delete-marker filter: files written before delete
     * support (or upsert rows generally) read the marker as null = not
-    * deleted.
+    * deleted. A no-op when the scan schema carried no marker column
+    * (manifest says no live marker can exist — the common case keeps the
+    * exact pre-delete plan).
     */
   private def dropDeleted(df: DataFrame): DataFrame =
-    df.filter(!coalesce(col(IcebergLikeTable.DeleteCol), lit(false)))
+    if (!df.columns.contains(IcebergLikeTable.DeleteCol)) df
+    else df.filter(!coalesce(col(IcebergLikeTable.DeleteCol), lit(false)))
       .drop(IcebergLikeTable.DeleteCol)
 
   /** Scan the manifest's files under ITS committed schema (+__seq) —
@@ -415,7 +443,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * schema that version had.
     */
   private def scanWith(m: Manifest, files: Seq[String]): DataFrame =
-    spark.read.schema(plusSeq(m.tableSchema.getOrElse(emptySchema)))
+    spark.read.schema(plusSeq(m.tableSchema.getOrElse(emptySchema),
+        withDel = m.hasDeletes))
       .parquet(files: _*)
 
   /** Last-writer-wins resolution over base ∪ delta rows: the row with the
@@ -686,8 +715,10 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     } else {
       val r = resolveKeepSeq(scanWith(m, cand.map(f => s"$root/$f")))
         .where(col("__seq") > sinceBatch).drop("__seq")
-      if (includeDeletes) r.withColumn(dc, coalesce(col(dc), lit(false)))
-      else dropDeleted(r)
+      if (!includeDeletes) dropDeleted(r)
+      else if (r.columns.contains(dc))
+        r.withColumn(dc, coalesce(col(dc), lit(false)))
+      else r.withColumn(dc, lit(false))
     }
   }
 
@@ -752,6 +783,16 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val incoming = StructType(updates.schema.fields
       .filterNot(f => f.name == "__seq" || f.name == "__bucket" ||
         f.name == IcebergLikeTable.DeleteCol))
+    // a batch carrying a TRUE marker makes delete markers live until the
+    // next full purge — flips the manifest's hasDeletes read mode. The
+    // content check (limit-1 early-exit job) matters for change-stream
+    // consumers: their batches always CARRY the marker column (the
+    // stream schema must be static), but flipping a replica to the
+    // wider marker-aware read mode on an all-null column would tax every
+    // later read for nothing. Batches without the column skip the check.
+    val delBatch =
+      updates.schema.fieldNames.contains(IcebergLikeTable.DeleteCol) &&
+        !updates.filter(col(IcebergLikeTable.DeleteCol) === true).isEmpty
     require(incoming.exists(_.name == keyCol),
       s"merge batch lacks key column '$keyCol'")
     incoming.foreach { f =>
@@ -797,7 +838,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     // rewrite (VERDICT r2: the p99 spike at scale).
     val (buckets2, deltas2) =
       if (inlineCompaction)
-        compactBuckets(m.buckets, deltas, version, batchId, evolved, nb)
+        compactBuckets(m.buckets, deltas, version, batchId, evolved, nb,
+          withDel = m.hasDeletes || delBatch)
       else (m.buckets, deltas)
 
     var lineageFiles = m.lineageFiles
@@ -818,7 +860,9 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
 
     commitAndGc(m, Manifest(batchId, buckets2, deltas2, lineageFiles,
       signalFiles, tableSchema = Some(evolved), bucketCount = Some(nb),
-      droppedColumns = m.droppedColumns, fileStats = m.fileStats),
+      droppedColumns = m.droppedColumns, fileStats = m.fileStats,
+      lastDeleteBatch = if (delBatch) batchId else m.lastDeleteBatch,
+      purgedDeletesTo = m.purgedDeletesTo),
       writtenThisCommit = newDeltaFiles.values.flatten.toSet)
     true
   }
@@ -849,7 +893,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
   def purgeDeletes(beforeBatch: Long): Unit = {
     val dc = IcebergLikeTable.DeleteCol
     val m = readManifest()
-    if (m.dataFiles.isEmpty) return
+    if (m.dataFiles.isEmpty || !m.hasDeletes) return
     val nb = bucketsOf(m)
     val baseName = s"data/purge-v${m.lastBatchId}"
     val dirRel = Iterator.from(0)
@@ -866,7 +910,13 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       .sortWithinPartitions(col(keyCol))
       .write.mode("overwrite").partitionBy("__bucket").parquet(dir)
     val newBase = listBucketFiles(dir, dirRel)
-    commitAndGc(m, m.copy(buckets = newBase, deltas = Map.empty))
+    commitAndGc(m, m.copy(buckets = newBase, deltas = Map.empty,
+      // markers with seq > beforeBatch survive the rewrite, so the purge
+      // floor can only advance to min(beforeBatch, lastDeleteBatch) —
+      // once it reaches lastDeleteBatch, hasDeletes turns off and reads
+      // regain the pre-delete scan shape
+      purgedDeletesTo = math.max(m.purgedDeletesTo,
+        math.min(beforeBatch, m.lastDeleteBatch))))
   }
 
   /** Iceberg-style column drop: METADATA-ONLY — the committed schema
@@ -953,7 +1003,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
   private def compactBuckets(base: Map[Int, Seq[String]],
       deltas: Map[Int, Seq[String]], version: String,
       seq: Long, tableSchema: StructType,
-      nBuckets: Int): (Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
+      nBuckets: Int, withDel: Boolean): (Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
     val toCompact = deltas.filter(kv => needsCompaction(kv._2)).keySet
     if (toCompact.isEmpty) (base, deltas)
     else {
@@ -972,7 +1022,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       // preserved per-row __seq (the commit that last changed the key) —
       // newer deltas still win resolution by construction, and
       // readChangesSince stays exact across compactions
-      resolveKeepSeq(spark.read.schema(plusSeq(tableSchema)).parquet(files: _*))
+      resolveKeepSeq(spark.read.schema(plusSeq(tableSchema, withDel))
+          .parquet(files: _*))
         .withColumn("__bucket", bucketExpr(keyCol, nBuckets))
         .repartition(math.max(toCompact.size, 1), col("__bucket"))
         .sortWithinPartitions(col(keyCol))
@@ -996,7 +1047,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     if (!m.deltas.exists(kv => needsCompaction(kv._2))) return false
     val (b2, d2) =
       compactBuckets(m.buckets, m.deltas, s"v${m.lastBatchId}c",
-        m.lastBatchId, m.tableSchema.getOrElse(emptySchema), bucketsOf(m))
+        m.lastBatchId, m.tableSchema.getOrElse(emptySchema), bucketsOf(m),
+        withDel = m.hasDeletes)
     commitAndGc(m, m.copy(buckets = b2, deltas = d2))
     true
   }

@@ -122,6 +122,23 @@ class StoreDeleteSpec extends SparkSpec {
     assert(mvState == Map("lo" -> ((1L, 1L)), "hi" -> ((1L, 5L))))
   }
 
+  test("hasDeletes flag: upsert-only tables and their replicas keep the narrow read mode") {
+    val t = mk(); val r = mk()
+    t.merge(snap("a" -> 1, "b" -> 2), "conv_id", 0L)
+    assert(!t.readManifest().hasDeletes)
+    // a change-stream replica's batches always CARRY the marker column
+    // (static stream schema) — an all-null column must not flip the flag
+    val q = ChangeStream.replicate(t, r, tmpDir("graft-del-flag"))
+    q.awaitTermination(600000)
+    assert(state(r) == Map("a" -> 1, "b" -> 2))
+    assert(!r.readManifest().hasDeletes)
+    t.delete(Seq("a").toDF("conv_id"), 1L)
+    assert(t.readManifest().hasDeletes)
+    t.purgeDeletes(1L)
+    assert(!t.readManifest().hasDeletes)
+    assert(state(t) == Map("b" -> 2))
+  }
+
   test("purgeDeletes drops aged markers without changing the snapshot") {
     val t = mk()
     t.merge(snap("a" -> 1, "b" -> 2, "c" -> 3), "conv_id", 0L)
