@@ -71,24 +71,31 @@ case class BandSig(child: Expression, bands: Int, planesPerBand: Int)
     new GenericArrayData(out)
   }
 
+  // all locals freshName'd — two instances in one generated function must
+  // not redeclare the same Java locals (see CosineSim.doGenCode's note)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
       val ref = ctx.addReferenceObj("bandSig", this, classOf[BandSig].getName)
+      val n = ctx.freshName("bsN"); val planes = ctx.freshName("bsPlanes")
+      val out = ctx.freshName("bsOut"); val b = ctx.freshName("bsB")
+      val sig = ctx.freshName("bsSig"); val p = ctx.freshName("bsP")
+      val pl = ctx.freshName("bsPl"); val dot = ctx.freshName("bsDot")
+      val i = ctx.freshName("bsI")
       s"""
-         |int n = $arr.numElements();
-         |double[][] planes = $ref.planesFor(n);
-         |long[] out = new long[$bands];
-         |for (int b = 0; b < $bands; b++) {
-         |  long sig = 0L;
-         |  for (int p = 0; p < $planesPerBand; p++) {
-         |    double[] pl = planes[b * $planesPerBand + p];
-         |    double dot = 0.0;
-         |    for (int i = 0; i < n; i++) dot += ((double) $arr.getFloat(i)) * pl[i];
-         |    if (dot >= 0.0) sig |= (1L << p);
+         |int $n = $arr.numElements();
+         |double[][] $planes = $ref.planesFor($n);
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $sig = 0L;
+         |  for (int $p = 0; $p < $planesPerBand; $p++) {
+         |    double[] $pl = $planes[$b * $planesPerBand + $p];
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) $dot += ((double) $arr.getFloat($i)) * $pl[$i];
+         |    if ($dot >= 0.0) $sig |= (1L << $p);
          |  }
-         |  out[b] = sig;
+         |  $out[$b] = $sig;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

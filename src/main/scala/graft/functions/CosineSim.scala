@@ -50,17 +50,26 @@ case class CosineSim(left: Expression, right: Expression)
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  // every local is ctx.freshName'd: two instances of this expression in
+  // ONE generated function (e.g. `cosine_sim(a,b) > t AND cosine_sim(a,c)
+  // > t` in a single predicate) would otherwise redeclare the same Java
+  // locals — Janino rejects the class and Spark silently falls back to
+  // interpreted eval for the whole operator
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (arr1, arr2) => {
+      val n = ctx.freshName("csN"); val dot = ctx.freshName("csDot")
+      val nx = ctx.freshName("csNx"); val ny = ctx.freshName("csNy")
+      val i = ctx.freshName("csI")
+      val xv = ctx.freshName("csXv"); val yv = ctx.freshName("csYv")
       s"""
-         |int n = java.lang.Math.min($arr1.numElements(), $arr2.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = (double) $arr1.getFloat(i);
-         |  double yv = (double) $arr2.getFloat(i);
-         |  dot += xv * yv; nx += xv * xv; ny += yv * yv;
+         |int $n = java.lang.Math.min($arr1.numElements(), $arr2.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $arr1.getFloat($i);
+         |  double $yv = (double) $arr2.getFloat($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

@@ -32,6 +32,34 @@ class FunctionRegistrationSpec extends SparkSpec {
     assert(viaSql.getSeq[Long](1).length === 4)
   }
 
+  test("two instances of a native expression codegen into ONE function") {
+    // Regression: doGenCode used raw Java local names (i, n, dot, …) — two
+    // cosine_sim/band_sig calls in one predicate/projection redeclared
+    // them, Janino rejected the class, and Spark silently fell back to
+    // interpreted eval. CODEGEN_ONLY turns that silent fallback into a
+    // test failure.
+    val key = "spark.sql.codegen.factoryMode"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val df = Seq((Array(1.0f, 2.0f), Array(0.5f, -1.0f), Array(2.0f, 2.0f)))
+        .toDF("a", "b", "c")
+      val r = df
+        .filter(GraftFunctions.cosine_sim(col("a"), col("b")) > -2.0 &&
+          GraftFunctions.cosine_sim(col("a"), col("c")) > -2.0)
+        .select(
+          GraftFunctions.band_sig(col("a"), 2, 2).as("s1"),
+          GraftFunctions.band_sig(col("b"), 2, 2).as("s2"))
+        .collect()
+      assert(r.length === 1)
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("input-type checks reject non-float arrays at analysis time") {
     GraftFunctions.registerAll(spark)
     intercept[AnalysisException] {
