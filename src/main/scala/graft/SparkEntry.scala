@@ -156,6 +156,7 @@ object SparkEntry {
     "wf_dist_funcs" -> (RelationalQueries.wfDistFuncs _),
     "pivot_counts" -> (RelationalQueries.pivotCounts _),
     "unpivot_counts" -> (RelationalQueries.unpivotCounts _),
+    "heavy_hitters" -> (RelationalQueries.heavyHitters _),
     "hof_fns" -> (TextQueries.hofFns _),
     // IVF ANN (deterministic coarse centroids → probed inverted lists)
     "ann_ivf" -> ((s, d) => graft.ann.Ann.ivfTopK(
@@ -370,6 +371,7 @@ object SparkEntry {
     "wf_dist_funcs" -> RelationalQueries.wfDistFuncsSql,
     "pivot_counts" -> RelationalQueries.pivotCountsSql,
     "unpivot_counts" -> RelationalQueries.unpivotCountsSql,
+    "heavy_hitters" -> RelationalQueries.heavyHittersSql,
     "hof_fns" -> TextQueries.hofFnsSql,
     "ann_ivf" -> graft.ann.Ann.ivfTopKSql(queryId = 0L, k = 10,
       numCentroids = 16, nProbe = 4),

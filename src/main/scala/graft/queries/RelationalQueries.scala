@@ -336,6 +336,36 @@ object RelationalQueries {
     """SELECT event_type, count(*) AS exact_n, TRUE AS within_cms_bound
        FROM events GROUP BY 1"""
 
+  /** Sketch-accelerated EXACT heavy hitters: (user, event_type) pairs
+    * occurring ≥ T times, without ever exact-counting the key universe.
+    * Two passes: (1) ONE mergeable Count-Min sketch over the composite
+    * key — only d×w matrices cross the wire (map-side combine), never
+    * per-key partials; (2) rows are filtered to keys whose ESTIMATE ≥ T
+    * and only the survivors are exact-counted. CMS never under-counts,
+    * so pass 2 sees every true heavy hitter (no false negatives); its
+    * HAVING removes the collision false-positives — the result is EXACT
+    * (the oracle is the plain GROUP BY ... HAVING) while the pass-2
+    * shuffle carries only candidate rows. At 100 TB with a long-tailed
+    * key universe that is the difference between shuffling every key
+    * once and shuffling the heavy tail only.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CountMin
+    val T = 15L
+    val ev = Tables.events(s, d).select(
+      concat_ws("#", col("user_id"), col("event_type")).as("k"))
+    val sk = ev.agg(CountMin.sketch(col("k")).as("sk"))
+    ev.crossJoin(broadcast(sk))
+      .filter(CountMin.estimate(col("sk"), col("k")) >= T)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= T)
+  }
+
+  val heavyHittersSql: String =
+    """SELECT CAST(user_id AS VARCHAR) || '#' || event_type AS k,
+       count(*) AS n
+       FROM events GROUP BY 1 HAVING count(*) >= 15"""
+
   /** Pivot as direct conditional aggregation — the scalable form. Even
     * `.pivot(col, explicitValues)` plans TWO shuffles (a pre-aggregate
     * on (key, pivot-col), then a pivotfirst aggregate on key); spelling
