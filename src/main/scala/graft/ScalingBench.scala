@@ -162,6 +162,33 @@ object ScalingBench {
               col("text")),
           "doc_id", "text", numHashes = 32))
       }),
+      // test-set decontamination at transcript scale: every turn a doc,
+      // benchmark = the op's content-derived md5-nibble rule (~1/16 of
+      // docs). 1/64 deterministic sample bounds the benchmark shingle
+      // broadcast (~eval-corpus-sized, the op's design assumption); the
+      // left-semi probe never multiplies rows, so the timed cost is the
+      // intended shape: shingle explode + broadcast probe + per-doc agg.
+      "decontam" -> (() => best {
+        noop(graft.queries.TextQueries.decontaminateOver(
+          spark.read.parquet(SharedInput)
+            .where(pmod(hash(col("conv_id"), col("turn_idx")), lit(64)) === 0)
+            .select(xxhash64(col("conv_id"), col("turn_idx")).as("doc_id"),
+              col("text"))))
+      }),
+      // SemDeDup at scale over deterministic synthetic embeddings
+      // (dim 64): C=512 coarse clusters bound the pairwise term to
+      // N²/C; the timed region is the full op — broadcast-centroid
+      // argmax assignment (N×C fused-codegen cosines through the
+      // latest_by reduction) + cluster-keyed pair join + drop marking.
+      "semdedup" -> (() => best {
+        val n = sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_N", "200000").toLong
+        val emb = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            (pmod(xxhash64(col("id"), j), lit(2000001L)).cast("double")
+              / 1000000.0 - 1.0).cast("float")).as("embedding"))
+        noop(graft.ann.Ann.semanticDedup(emb,
+          numCentroids = 512, minCos = 0.99))
+      }),
       // as-of self-join at transcript scale: every turn gets the most
       // recent prior tool turn of its conversation — union + ONE keyed
       // shuffle + per-conv sort (the SMJ cost shape, no range blowup)

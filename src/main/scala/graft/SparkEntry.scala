@@ -114,6 +114,9 @@ object SparkEntry {
     // stream-stream LEFT SEMI interval join (existence, state-deduped)
     "j6_stream_semi" -> (StreamQueries.j6StreamSemi _),
     "j7_stream_anti" -> (StreamQueries.j7StreamAnti _),
+    // stream-stream FULL OUTER interval join: both sides' unmatched rows
+    // flushed by watermark eviction (dual-clock sentinel harness)
+    "j8_stream_full" -> (StreamQueries.j8StreamFull _),
     // sliding-window streaming agg (overlapping-window state), sentinel-closed
     "w2_stream_sliding" -> (StreamQueries.w2StreamSliding _),
     // dropDuplicatesWithinWatermark over a 3x-duplicated stream == DISTINCT
@@ -250,6 +253,13 @@ object SparkEntry {
     "repetition_ratio" -> (TextQueries.repetitionRatio _),
     "dup_spans" -> ((s, d) => TextQueries.dupSpans(s, d)),
     "strip_spans" -> (TextQueries.stripSpans _),
+    // eval-leakage gate: shared-8-shingle flags vs a held-out benchmark
+    // set (broadcast probe — the training side never shuffles)
+    "decontam" -> (TextQueries.decontaminate _),
+    // RAG/embedding prep: overlapping token windows, narrow posexplode
+    "chunk_overlap" -> ((s, d) => TextQueries.chunkOverlap(s, d)),
+    // two-phase tokenize: global top-V vocab + broadcast id encoding
+    "vocab_encode" -> ((s, d) => TextQueries.vocabEncode(s, d)),
     // The dedup pipeline's actual OUTPUT: keep each duplicate class's
     // representative (cluster_id == doc_id) plus all unclustered docs —
     // candidates → verified pairs → connected components → filter,
@@ -300,6 +310,10 @@ object SparkEntry {
       Tables.embeddings(s, d), queryId = 0L, k = 10, bands = 4, planesPerBand = 4)),
     "emb_neardup" -> ((s, d) => graft.ann.Ann.nearDupPairs(
       Tables.embeddings(s, d), maxId = 300L, minCos = 0.4)),
+    // SemDeDup-style semantic dedup: coarse clusters bound the pairwise
+    // term to N²/C; within-cluster cosine near-dups marked, min-id kept
+    "semantic_dedup" -> ((s, d) => graft.ann.Ann.semanticDedup(
+      Tables.embeddings(s, d), numCentroids = 16, minCos = 0.4)),
     // int8 embedding quantization: narrow per-row, bit-exact double oracle
     "emb_quantize" -> ((s, d) => graft.ann.Ann.quantizeInt8(
       Tables.embeddings(s, d))),
@@ -349,6 +363,7 @@ object SparkEntry {
     "j5_stream_outer" -> StreamQueries.j5StreamOuterSql,
     "j6_stream_semi" -> StreamQueries.j6StreamSemiSql,
     "j7_stream_anti" -> StreamQueries.j7StreamAntiSql,
+    "j8_stream_full" -> StreamQueries.j8StreamFullSql,
     "w2_stream_sliding" -> StreamQueries.w2StreamSlidingSql,
     "dedup_stream_watermark" -> StreamQueries.dedupStreamWatermarkSql,
     "mv_maintain" -> StreamQueries.mvMaintainSql,
@@ -402,6 +417,9 @@ object SparkEntry {
     "top_terms" -> TextQueries.topTermsSql,
     "dup_spans" -> TextQueries.dupSpansSql,
     "strip_spans" -> TextQueries.stripSpansSql,
+    "decontam" -> TextQueries.decontaminateSql,
+    "chunk_overlap" -> TextQueries.chunkOverlapSql,
+    "vocab_encode" -> TextQueries.vocabEncodeSql,
     "repetition_ratio" -> TextQueries.repetitionRatioSql,
     "dedup_filtered" ->
       s"""SELECT doc_id FROM ($dedupClustersSql) WHERE doc_id = cluster_id""",
@@ -436,6 +454,8 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_simhash" -> graft.dedup.Dedup.simhashCandidatesOracleSql,
     "emb_neardup" -> embNearDupSql,
+    "semantic_dedup" -> graft.ann.Ann.semanticDedupSql(
+      numCentroids = 16, minCos = 0.4),
     "emb_quantize" -> graft.ann.Ann.quantizeInt8Sql,
     "mm_decode" -> mmDecodeSql,
     "mm_frames" -> mmFramesSql,

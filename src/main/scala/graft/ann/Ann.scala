@@ -293,4 +293,62 @@ object Ann {
       .filter(col("cos") >= minCos)
       .select(col("vec_a"), col("vec_b"))
   }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): cluster the
+    * embedding space coarsely, then mark within-cluster cosine near-dups,
+    * keeping each near-dup pair's lower vec_id. Output: one row per
+    * vector with its cluster and `is_dup` (true = a smaller-id vector in
+    * the same cluster sits within `minCos`).
+    *
+    * Scale shape — the whole point of the cluster stage: pair candidates
+    * are generated per cluster (one equi-join keyed on cluster id), so
+    * the quadratic term is Σ|cluster|² ≈ N²/C, not N²; the centroid set
+    * is tiny and broadcast (assignment is one narrow pass, argmax via
+    * latest_by — see [[assignToCentroids]]); nothing else shuffles more
+    * than one row per vector. A production run k-means-trains the
+    * centroids ([[KMeans.fit]]) and caps cluster sizes; the deterministic
+    * first-C centroids keep the oracle literal-free and the structure
+    * identical.
+    */
+  def semanticDedup(emb: DataFrame, numCentroids: Int = 16,
+      minCos: Double = 0.4): DataFrame = {
+    import graft.functions.GraftFunctions.cosine_sim
+    val cents = emb.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cluster"), col("embedding").as("c_emb"))
+    val asg = assignToCentroids(emb, cents)
+    val a = asg.select(col("cluster"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = asg.select(col("cluster"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    val dropped = a.join(b, Seq("cluster")).filter(col("va") < col("vb"))
+      .filter(cosine_sim(col("ea"), col("eb")) >= minCos)
+      .select(col("vb").as("vec_id")).distinct()
+    asg.select(col("vec_id"), col("cluster"))
+      .join(dropped.withColumn("__d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+  }
+
+  /** DuckDB oracle for [[semanticDedup]] — same deterministic index,
+    * double math end to end (the [[ivfTopKSql]] assignment CTE).
+    */
+  def semanticDedupSql(numCentroids: Int, minCos: Double): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       c AS (SELECT vec_id AS cluster, emb AS cemb FROM e WHERE vec_id < $numCentroids),
+       asg AS (SELECT vec_id, cluster, emb FROM (
+                 SELECT e.vec_id, c.cluster, e.emb,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_dot_product(e.emb, c.cemb) /
+                       (sqrt(list_dot_product(e.emb, e.emb)) *
+                        sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+                     c.cluster ASC) AS rn
+                 FROM e, c) WHERE rn = 1),
+       dropped AS (
+         SELECT DISTINCT b.vec_id
+         FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         WHERE list_dot_product(a.emb, b.emb) /
+                 (sqrt(list_dot_product(a.emb, a.emb)) *
+                  sqrt(list_dot_product(b.emb, b.emb))) >= $minCos)
+       SELECT g.vec_id, g.cluster, d.vec_id IS NOT NULL AS is_dup
+       FROM asg g LEFT JOIN dropped d ON g.vec_id = d.vec_id"""
 }

@@ -886,7 +886,7 @@ object StreamQueries {
     * oracled.
     */
   def j5StreamOuter(s: SparkSession, d: String): DataFrame =
-    runOuterInterval(s, d, anti = false)
+    runOuterInterval(s, d, mode = "outer")
 
   /** Stream-stream LEFT ANTI interval join — an operator Spark's
     * streaming engine does not offer natively (inner/outer/semi only):
@@ -901,10 +901,23 @@ object StreamQueries {
     * Drained result == batch NOT EXISTS, DuckDB-oracled.
     */
   def j7StreamAnti(s: SparkSession, d: String): DataFrame =
-    runOuterInterval(s, d, anti = true)
+    runOuterInterval(s, d, mode = "anti")
+
+  /** Stream-stream FULL OUTER interval join: every purchase with its
+    * 24-h-preceding signup/click matches PLUS null-padded rows for
+    * unmatched purchases AND unmatched sources — both emitted only when
+    * the advancing watermark evicts that side's state unmatched (right-
+    * side eviction needs the LEFT clock too, which the dual-role
+    * sentinels of the shared harness already advance). The join key in
+    * the output is `coalesce` of the two sides — null-padded right rows
+    * carry no left conv_id. Drained result == batch FULL JOIN,
+    * DuckDB-oracled.
+    */
+  def j8StreamFull(s: SparkSession, d: String): DataFrame =
+    runOuterInterval(s, d, mode = "full")
 
   private def runOuterInterval(s: SparkSession, d: String,
-      anti: Boolean): DataFrame = {
+      mode: String): DataFrame = {
     import s.implicits._
     val tmp = Files.createTempDirectory("graft-ssouter-q").toString
     val inDir = s"$tmp/in"
@@ -948,23 +961,30 @@ object StreamQueries {
       col("conv_id") === col("src_conv_id") &&
         col("buy_ts") >= col("src_ts") &&
         col("buy_ts") <= col("src_ts") + expr("interval 24 hours"),
-      "leftOuter")
-    val joined =
-      if (anti) outer.filter(col("src_conv_id").isNull)
+      if (mode == "full") "fullOuter" else "leftOuter")
+    val joined = mode match {
+      case "anti" => outer.filter(col("src_conv_id").isNull)
         .select(col("conv_id"), col("buy_idx").cast("long").as("buy_idx"),
           unix_micros(col("buy_ts")).as("buy_ts_us"))
-      else outer
+      case "full" => outer
+        .select(coalesce(col("conv_id"), col("src_conv_id")).as("conv_id"),
+          col("buy_idx").cast("long").as("buy_idx"),
+          col("src_idx").cast("long").as("src_idx"), col("src_role"),
+          unix_micros(col("buy_ts")).as("buy_ts_us"),
+          unix_micros(col("src_ts")).as("src_ts_us"))
+      case _ => outer
         .select(col("conv_id"), col("buy_idx").cast("long").as("buy_idx"),
           col("src_idx").cast("long").as("src_idx"), col("src_role"),
           unix_micros(col("buy_ts")).as("buy_ts_us"),
           unix_micros(col("src_ts")).as("src_ts_us"))
+    }
     val q = joined.writeStream.outputMode("append")
       .option("checkpointLocation", s"$tmp/ckpt")
       .format("parquet").option("path", s"$tmp/out")
       .start()
     runAndStop(q)
     s.read.schema(joined.schema).parquet(s"$tmp/out")
-      .filter(col("conv_id") =!= "-1") // sentinel purchases' null rows
+      .filter(col("conv_id") =!= "-1") // sentinel rows (either side)
   }
 
   val j7StreamAntiSql: String =
@@ -976,6 +996,22 @@ object StreamQueries {
          SELECT 1 FROM t a
          WHERE a.conv_id = b.conv_id AND a.role IN ('signup','click')
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 24 HOUR)"""
+
+  val j8StreamFullSql: String =
+    """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                         event_id AS turn_idx, event_type AS role, ts
+                  FROM events),
+       b AS (SELECT conv_id, turn_idx AS buy_idx, ts AS buy_ts FROM t
+             WHERE role = 'purchase'),
+       a AS (SELECT conv_id AS src_conv_id, turn_idx AS src_idx,
+                    role AS src_role, ts AS src_ts FROM t
+             WHERE role IN ('signup','click'))
+       SELECT coalesce(b.conv_id, a.src_conv_id) AS conv_id,
+              b.buy_idx, a.src_idx, a.src_role,
+              epoch_us(b.buy_ts) AS buy_ts_us, epoch_us(a.src_ts) AS src_ts_us
+       FROM b FULL JOIN a ON b.conv_id = a.src_conv_id
+         AND b.buy_ts >= a.src_ts
+         AND b.buy_ts <= a.src_ts + INTERVAL 24 HOUR"""
 
   val j5StreamOuterSql: String =
     """WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id,

@@ -461,6 +461,165 @@ object TextQueries {
                            AND tk.i BETWEEN s.lo AND s.hi)
        GROUP BY 1"""
 
+  /** Test-set DECONTAMINATION — the eval-leakage gate every training-data
+    * pipeline runs before a corpus ships: flag training documents sharing
+    * any verbatim k-token shingle (k = 8, the dup-span threshold) with a
+    * held-out benchmark set. Benchmark membership is content-derived
+    * (first md5 nibble = '0', ~1/16 of docs) so the rule is deterministic
+    * and oracle-reproducible. Scale shape: the benchmark shingle set is
+    * eval-corpus-sized — tiny next to 100 TB of training data — so it
+    * BROADCASTS and the training side never shuffles: one narrow shingle
+    * explode, a broadcast left-semi probe, one partial-agg'd count per
+    * doc. Contaminated-shingle counts are per-distinct-shingle (a doc
+    * repeating one leaked phrase counts it once).
+    */
+  def decontaminate(s: SparkSession, d: String): DataFrame =
+    decontaminateOver(Tables.documents(s, d))
+
+  /** [[decontaminate]] over any (doc_id, text) frame. */
+  def decontaminateOver(rawDocs: DataFrame, k: Int = 8): DataFrame = {
+    val docs = rawDocs.select(col("doc_id"),
+      expr(s"regexp_extract_all(lower(text), '$wordPat', 0)").as("w"),
+      (substring(md5(col("text").cast("binary")), 1, 1) === "0").as("is_bench"))
+    def sh(df: DataFrame) = df.filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("w")) - (k - 1)),
+        i => array_join(slice(col("w"), i, lit(k)), " ")))).as("sh"))
+    val bench = sh(docs.filter(col("is_bench"))).select("sh").distinct()
+    val hits = sh(docs.filter(!col("is_bench")))
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+    docs.filter(!col("is_bench")).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        (coalesce(col("n_contam"), lit(0L)) > 0).as("is_contam"))
+  }
+
+  // tokenized() strips punctuation, so re-tokenizing from raw text in the
+  // oracle matches; docs with < 8 tokens shingle to nothing on both sides
+  val decontaminateSql: String =
+    """WITH docs AS (
+         SELECT doc_id, substr(md5(text), 1, 1) = '0' AS is_bench,
+                regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         FROM documents),
+       shl AS (
+         SELECT doc_id, is_bench,
+           list_distinct([array_to_string(w[i:i+7], ' ')
+                          for i in generate_series(1, len(w) - 7)]) AS shs
+         FROM docs WHERE len(w) >= 8),
+       sh AS (SELECT doc_id, is_bench, unnest(shs) AS sh FROM shl),
+       bench AS (SELECT DISTINCT sh FROM sh WHERE is_bench),
+       hits AS (
+         SELECT c.doc_id, count(*) AS n
+         FROM sh c JOIN bench b USING (sh) WHERE NOT c.is_bench GROUP BY 1)
+       SELECT d.doc_id,
+         CAST(coalesce(h.n, 0) AS BIGINT) AS n_contam,
+         coalesce(h.n, 0) > 0 AS is_contam
+       FROM docs d LEFT JOIN hits h USING (doc_id)
+       WHERE NOT d.is_bench"""
+
+  /** Overlapping CHUNKING — the RAG / embedding-prep operator: split each
+    * document's token stream into windows of `win` tokens advancing by
+    * `stride` (overlap = win − stride keeps context across boundaries).
+    * Chunk i covers tokens [i·stride+1, i·stride+win]; the final chunk is
+    * short rather than padded; empty docs emit nothing. Entirely narrow —
+    * one lambda-built array + posexplode per row, no shuffle, no join —
+    * so it runs at scan speed on 100 TB.
+    */
+  def chunkOverlap(s: SparkSession, d: String,
+      win: Int = 64, stride: Int = 48): DataFrame =
+    chunkOverlapOver(Tables.documents(s, d), win, stride)
+
+  /** [[chunkOverlap]] over any (doc_id, text) frame. */
+  def chunkOverlapOver(rawDocs: DataFrame,
+      win: Int = 64, stride: Int = 48): DataFrame = {
+    require(win > 0 && stride > 0 && stride <= win,
+      s"need 0 < stride <= win, got win=$win stride=$stride")
+    val docs = tokenized(rawDocs)
+    val n = size(col("w"))
+    // 1 + ceil(max(0, n - win) / stride), integer-exact in double.
+    // Empty docs are filtered OUT first, not special-cased to 0 chunks:
+    // Spark's sequence(0, n-1) DESCENDS for n = 0 (sequence(0,-1) =
+    // [0,-1]) and would emit two phantom empty chunks.
+    val nChunks = lit(1) + floor((greatest(n - lit(win), lit(0)) +
+      lit(stride - 1)).cast("double") / lit(stride)).cast("int")
+    docs.filter(n > 0)
+      .select(col("doc_id"), col("w"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("w"), i * stride + 1, lit(win)))).as(Seq("ci", "toks")))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        size(col("toks")).cast("long").as("n_chunk_toks"),
+        array_join(col("toks"), " ").as("chunk_text"))
+  }
+
+  val chunkOverlapSql: String =
+    """WITH docs AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         FROM documents),
+       nc AS (
+         SELECT doc_id, w,
+           CASE WHEN len(w) = 0 THEN 0
+                ELSE 1 + (greatest(len(w) - 64, 0) + 47) // 48 END AS n_chunks
+         FROM docs),
+       ch AS (
+         SELECT doc_id, w, unnest(generate_series(0, n_chunks - 1)) AS ci
+         FROM nc WHERE n_chunks > 0)
+       SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+         CAST(len(w[ci*48+1 : ci*48+64]) AS BIGINT) AS n_chunk_toks,
+         array_to_string(w[ci*48+1 : ci*48+64], ' ') AS chunk_text
+       FROM ch"""
+
+  /** Vocabulary build + token-id ENCODING — the two-phase tokenize step of
+    * a training pipeline: (1) global top-`vocabSize` terms by (count DESC,
+    * term ASC), id = dense rank from 1; (2) each document's first
+    * `maxLen` tokens encoded to ids, out-of-vocabulary → 0. The vocabulary
+    * is vocabulary-sized however big the corpus, so phase 2 is a BROADCAST
+    * left join against a narrow posexplode — the corpus never shuffles;
+    * phase 1 is one partial-agg'd term count + a driver-bounded top-V
+    * (TakeOrderedAndProject, vocabSize rows cross the wire).
+    */
+  def vocabEncode(s: SparkSession, d: String,
+      vocabSize: Int = 256, maxLen: Int = 32): DataFrame =
+    vocabEncodeOver(Tables.documents(s, d), vocabSize, maxLen)
+
+  /** [[vocabEncode]] over any (doc_id, text) frame. */
+  def vocabEncodeOver(rawDocs: DataFrame,
+      vocabSize: Int = 256, maxLen: Int = 32): DataFrame = {
+    val docs = tokenized(rawDocs)
+    val vocab = docs.select(explode(col("w")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(vocabSize)
+      .withColumn("token_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("term").asc)).cast("long"))
+      .select(col("term"), col("token_id"))
+    docs.select(col("doc_id"),
+        posexplode(slice(col("w"), 1, maxLen)).as(Seq("p", "term")))
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"),
+        col("term"), coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
+
+  val vocabEncodeSql: String =
+    """WITH docs AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         FROM documents),
+       tok AS (SELECT unnest(w) AS term FROM docs),
+       vocab AS (
+         SELECT term, CAST(row_number() OVER (ORDER BY cnt DESC, term ASC)
+                AS BIGINT) AS token_id
+         FROM (SELECT term, count(*) AS cnt FROM tok GROUP BY 1)
+         QUALIFY token_id <= 256),
+       enc AS (
+         SELECT doc_id, unnest([struct_pack(pos := i, term := w[i])
+           for i in generate_series(1, least(len(w), 32))],
+           recursive := true)
+         FROM docs)
+       SELECT e.doc_id, CAST(e.pos AS BIGINT) AS pos, e.term,
+              coalesce(v.token_id, 0) AS token_id
+       FROM enc e LEFT JOIN vocab v USING (term)"""
+
   /** Higher-order array functions — the array half of the scalar-fn
     * surface (SURVEY §2.2): tokenize once, then `filter` / `transform` /
     * `slice` / `aggregate` / `exists` over the token array. All five are
