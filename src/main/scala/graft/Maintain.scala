@@ -31,7 +31,15 @@ object Maintain {
     implicit val spark: SparkSession =
       (if (sys.props.contains("spark.master")) builder
        else builder.master("local[4]")).getOrCreate()
-    val t = new IcebergLikeTable(root, numBuckets = 8, inlineCompaction = false)
+    // GRAFT_BLOOM_NDV must match the owning pipeline's keyBloomNdv for
+    // bloom-enabled tables: a rewrite op (compact / rebucket /
+    // purge-deletes) writes files with THIS process's writer config, so
+    // running without it would silently strip the key blooms the lookup
+    // path relies on. (The stats column is manifest-carried; the bloom
+    // choice is writer-side by design, like parquet's own option.)
+    val bloomNdv = sys.env.get("GRAFT_BLOOM_NDV").map(_.toLong)
+    val t = new IcebergLikeTable(root, numBuckets = 8,
+      inlineCompaction = false, keyBloomNdv = bloomNdv)
     op match {
       case "compact" =>
         println(s"compacted=${t.compact()}")

@@ -82,7 +82,10 @@ object StreamQueries {
         eventsAsTurns(s, d).repartitionByRange(4, col("ts")).write.parquet(inDir)
         val stream = s.readStream.schema(Schemas.turn)
           .option("maxFilesPerTrigger", "1").parquet(inDir).as[Turn]
-        val table = new IcebergLikeTable(s"$tmp/table", 8)
+        // key blooms on: the oracled q1_sql_lookup / s1 snapshot reads
+        // exercise bloom-bearing files end to end
+        val table = new IcebergLikeTable(s"$tmp/table", 8,
+          keyBloomNdv = Some(4096L))
         val metrics = new MetricsListener
         s.streams.addListener(metrics)
         try {
