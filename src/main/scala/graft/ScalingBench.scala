@@ -162,18 +162,21 @@ object ScalingBench {
               col("text")),
           "doc_id", "text", numHashes = 32))
       }),
-      // test-set decontamination at transcript scale: every turn a doc,
-      // benchmark = the op's content-derived md5-nibble rule (~1/16 of
-      // docs). 1/64 deterministic sample bounds the benchmark shingle
-      // broadcast (~eval-corpus-sized, the op's design assumption); the
-      // left-semi probe never multiplies rows, so the timed cost is the
-      // intended shape: shingle explode + broadcast probe + per-doc agg.
+      // test-set decontamination at transcript scale: every turn a doc.
+      // The CORPUS side carries the scaling (1/4 sample, ~12M docs —
+      // the side that grows to 100 TB); the BENCHMARK side is pinned
+      // eval-sized by a 2-nibble membership rule (~1/256 of docs,
+      // ~15 MB broadcast) exactly as the op's design assumes — a
+      // benchmark that grew with the corpus would serialize on the
+      // driver's broadcast build (measured: the 1/64-sample 1-nibble
+      // variant spent its wall on the broadcast and scaled at 0.35).
       "decontam" -> (() => best {
         noop(graft.queries.TextQueries.decontaminateOver(
           spark.read.parquet(SharedInput)
-            .where(pmod(hash(col("conv_id"), col("turn_idx")), lit(64)) === 0)
+            .where(pmod(hash(col("conv_id"), col("turn_idx")), lit(4)) === 0)
             .select(xxhash64(col("conv_id"), col("turn_idx")).as("doc_id"),
-              col("text"))))
+              col("text")),
+          benchNibbles = 2))
       }),
       // SemDeDup at scale over deterministic synthetic embeddings
       // (dim 64): C=512 coarse clusters bound the pairwise term to

@@ -476,11 +476,17 @@ object TextQueries {
   def decontaminate(s: SparkSession, d: String): DataFrame =
     decontaminateOver(Tables.documents(s, d))
 
-  /** [[decontaminate]] over any (doc_id, text) frame. */
-  def decontaminateOver(rawDocs: DataFrame, k: Int = 8): DataFrame = {
+  /** [[decontaminate]] over any (doc_id, text) frame. `benchNibbles`
+    * deepens the content-derived membership rule (1 nibble ⇒ ~1/16 of
+    * docs are benchmark, n nibbles ⇒ 16^-n) — at corpus scale the
+    * benchmark must stay eval-sized for the broadcast design to hold.
+    */
+  def decontaminateOver(rawDocs: DataFrame, k: Int = 8,
+      benchNibbles: Int = 1): DataFrame = {
     val docs = rawDocs.select(col("doc_id"),
       expr(s"regexp_extract_all(lower(text), '$wordPat', 0)").as("w"),
-      (substring(md5(col("text").cast("binary")), 1, 1) === "0").as("is_bench"))
+      (substring(md5(col("text").cast("binary")), 1, benchNibbles)
+        === "0" * benchNibbles).as("is_bench"))
     def sh(df: DataFrame) = df.filter(size(col("w")) >= k)
       .select(col("doc_id"), explode(array_distinct(transform(
         sequence(lit(1), size(col("w")) - (k - 1)),
