@@ -129,6 +129,12 @@ object SparkEntry {
     "cdc_stream" -> (StreamQueries.cdcStream _),
     // streaming exact dedup: digest-keyed store == DISTINCT md5(text)
     "corpus_ingest" -> (StreamQueries.corpusIngest _),
+    // CEP: strict-contiguity sequence match (window form), followed-by
+    // funnel, and the SAME strict pattern through the streaming
+    // flatMapGroupsWithState NFA (watermark-finalized, append-mode)
+    "cep_pattern" -> (CepQueries.cepPattern _),
+    "cep_funnel" -> (CepQueries.cepFunnel _),
+    "cep_stream" -> (CepQueries.cepStream _),
     // training-sample construction over transcripts
     "assemble_convs" -> (TranscriptQueries.assembleConvs _),
     "pair_extract" -> (TranscriptQueries.pairExtract _),
@@ -368,6 +374,9 @@ object SparkEntry {
     "dedup_stream_watermark" -> StreamQueries.dedupStreamWatermarkSql,
     "mv_maintain" -> StreamQueries.mvMaintainSql,
     "corpus_ingest" -> StreamQueries.corpusIngestSql,
+    "cep_pattern" -> CepQueries.cepPatternSql,
+    "cep_funnel" -> CepQueries.cepFunnelSql,
+    "cep_stream" -> CepQueries.cepStreamSql, // streaming NFA == batch window form
     "assemble_convs" -> TranscriptQueries.assembleConvsSql,
     "pair_extract" -> TranscriptQueries.pairExtractSql,
     "sessionize" -> TranscriptQueries.sessionizeSql,

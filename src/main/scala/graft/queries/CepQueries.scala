@@ -1,0 +1,155 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cep.{Cep, CepEvent, CepStream}
+
+/** CEP query surface over the events fixture (events-as-user-streams:
+  * the same mapping every streaming query here uses). Three rows:
+  *
+  *  - cep_pattern: strict-contiguity sequence match (batch, window form)
+  *  - cep_funnel:  relaxed followed-by conversion funnel
+  *  - cep_stream:  the SAME strict pattern through the streaming NFA
+  *    (flatMapGroupsWithState + watermark finalization) — shares
+  *    cep_pattern's oracle, proving streaming ≡ batch ≡ DuckDB.
+  */
+object CepQueries {
+
+  private val PatternSteps = Seq(
+    Cep.Step("view", col("event_type") === "view"),
+    Cep.Step("click", col("event_type") === "click"),
+    Cep.Step("purchase", col("event_type") === "purchase"))
+  private val WithinUs = 72L * 3600 * 1000000 // 72 hours
+
+  /** Strict view→click→purchase within 72h, per user, ordered by
+    * (ts, event_id) — one keyed window pass, k−1 leads, no joins.
+    */
+  def cepPattern(s: SparkSession, d: String): DataFrame =
+    Cep.matchStrict(Tables.events(s, d),
+        key = col("user_id").cast("string"),
+        ts = col("ts"), idx = col("event_id"),
+        steps = PatternSteps, withinUs = WithinUs)
+      .select(col("key").as("conv_id"),
+        element_at(col("ids"), 1).as("e1"),
+        element_at(col("ids"), 2).as("e2"),
+        element_at(col("ids"), 3).as("e3"),
+        col("start_ts_us").as("t1_us"), col("end_ts_us").as("t3_us"))
+
+  val cepPatternSql: String =
+    """SELECT CAST(user_id AS VARCHAR) AS conv_id,
+              event_id AS e1, e2, e3,
+              epoch_us(ts) AS t1_us, epoch_us(t3) AS t3_us
+       FROM (
+         SELECT user_id, event_id, event_type, ts,
+                lead(event_type, 1) OVER w AS y2,
+                lead(event_type, 2) OVER w AS y3,
+                lead(event_id, 1)  OVER w AS e2,
+                lead(event_id, 2)  OVER w AS e3,
+                lead(ts, 2)        OVER w AS t3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       WHERE event_type = 'view' AND y2 = 'click' AND y3 = 'purchase'
+         AND t3 <= ts + INTERVAL 72 HOUR"""
+
+  /** signup → click → purchase funnel, each step within 3 days of the
+    * first signup — chained conditional window mins, one Exchange.
+    */
+  def cepFunnel(s: SparkSession, d: String): DataFrame =
+    Cep.funnel(Tables.events(s, d),
+        key = col("user_id").cast("string"), ts = col("ts"),
+        steps = Seq(
+          Cep.Step("signup", col("event_type") === "signup"),
+          Cep.Step("click", col("event_type") === "click"),
+          Cep.Step("purchase", col("event_type") === "purchase")),
+        within = "3 days")
+      .select(col("key").as("conv_id"), col("t1_us"), col("t2_us"),
+        col("t3_us"), col("depth"))
+
+  val cepFunnelSql: String =
+    """SELECT DISTINCT CAST(user_id AS VARCHAR) AS conv_id,
+              epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+              epoch_us(t3) AS t3_us,
+              CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                   WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+       FROM (
+         SELECT user_id, t1, t2,
+                min(CASE WHEN event_type = 'purchase' AND ts > t2
+                          AND ts <= t1 + INTERVAL 3 DAY THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+         FROM (
+           SELECT user_id, event_type, ts, t1,
+                  min(CASE WHEN event_type = 'click' AND ts > t1
+                            AND ts <= t1 + INTERVAL 3 DAY THEN ts END)
+                    OVER (PARTITION BY user_id) AS t2
+           FROM (
+             SELECT user_id, event_type, ts,
+                    min(CASE WHEN event_type = 'signup' THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+             FROM events)))"""
+
+  // ---- streaming NFA ---------------------------------------------------
+  private val cepCache = new FixtureCache[String]()
+
+  /** The strict pattern through the streaming NFA: time-ordered
+    * micro-batches (range-partitioned files, ascending mtimes), 1-minute
+    * watermark, far-future sentinel advancing the final watermark past
+    * every real anchor's horizon (the sentinel is a lone event in a
+    * dummy group — it can't match a 3-step pattern and its own anchor
+    * never finalizes). Append-mode parquet sink, checkpointed.
+    */
+  private def runCepPipeline(s: SparkSession, d: String): String =
+    cepCache.getOrElseUpdate((s, d)) {
+      locally({
+        import s.implicits._
+        implicit val sp: SparkSession = s
+        val tmp = Files.createTempDirectory("graft-cep-q").toString
+        val inDir = s"$tmp/in"
+        val src = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        src.repartitionByRange(4, col("ts")).write.parquet(inDir)
+        val stamped = StreamQueries.stampAscending(inDir)
+        val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
+        StreamQueries.appendSentinelLast(inDir, stamped,
+          Seq((-1L, -1L, "view",
+            new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)))
+            .toDF("user_id", "event_id", "event_type", "ts"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id bigint, event_id bigint, event_type string, ts timestamp")
+        val mask = PatternSteps.zipWithIndex.map { case (st, j) =>
+          when(st.pred, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _)
+        val events = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .select(col("user_id").cast("string").as("convId"),
+            col("event_id").as("idx"), unix_micros(col("ts")).as("tsUs"),
+            mask.as("mask"), col("ts"))
+          .withWatermark("ts", "1 minute")
+          .as[CepEvent]
+        val outDir = s"$tmp/out"
+        val q = CepStream.matches(events, PatternSteps.size, WithinUs)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .format("parquet").option("path", outDir)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        outDir
+      })
+    }
+
+  /** Streaming strict-pattern matches ≡ the batch window form (same
+    * DuckDB oracle as cep_pattern).
+    */
+  def cepStream(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(runCepPipeline(s, d))
+      .filter(col("convId") =!= "-1")
+      .select(col("convId").as("conv_id"),
+        element_at(col("ids"), 1).as("e1"),
+        element_at(col("ids"), 2).as("e2"),
+        element_at(col("ids"), 3).as("e3"),
+        col("startTsUs").as("t1_us"), col("endTsUs").as("t3_us"))
+
+  val cepStreamSql: String = cepPatternSql
+}

@@ -490,7 +490,7 @@ object StreamQueries {
     Files.setLastModifiedTime(p,
       java.nio.file.attribute.FileTime.fromMillis(StampBaseMs + idx * 60000L))
 
-  private def stampAscending(inDir: String, from: Int = 0): Set[java.nio.file.Path] = {
+  private[queries] def stampAscending(inDir: String, from: Int = 0): Set[java.nio.file.Path] = {
     val parts = Files.list(java.nio.file.Paths.get(inDir))
     try {
       val ps = parts.iterator().asScala.toSeq
@@ -506,7 +506,7 @@ object StreamQueries {
     * window/session, flushing them to the append-mode sink, while its own
     * group never closes. Shared by the tumbling and session pipelines.
     */
-  private def appendSentinelLast(inDir: String,
+  private[queries] def appendSentinelLast(inDir: String,
       stamped: Set[java.nio.file.Path],
       sentinel: DataFrame): Unit = {
     sentinel.coalesce(1).write.mode("append").parquet(inDir)
