@@ -135,6 +135,9 @@ object SparkEntry {
     "cep_pattern" -> (CepQueries.cepPattern _),
     "cep_funnel" -> (CepQueries.cepFunnel _),
     "cep_stream" -> (CepQueries.cepStream _),
+    // lexical retrieval: sharded inverted index + BM25 ranked top-k
+    "inverted_index" -> (RetrievalQueries.invertedIndex _),
+    "bm25_topk" -> (RetrievalQueries.bm25TopK _),
     // training-sample construction over transcripts
     "assemble_convs" -> (TranscriptQueries.assembleConvs _),
     "pair_extract" -> (TranscriptQueries.pairExtract _),
@@ -377,6 +380,8 @@ object SparkEntry {
     "cep_pattern" -> CepQueries.cepPatternSql,
     "cep_funnel" -> CepQueries.cepFunnelSql,
     "cep_stream" -> CepQueries.cepStreamSql, // streaming NFA == batch window form
+    "inverted_index" -> RetrievalQueries.invertedIndexSql,
+    "bm25_topk" -> RetrievalQueries.bm25TopKSql,
     "assemble_convs" -> TranscriptQueries.assembleConvsSql,
     "pair_extract" -> TranscriptQueries.pairExtractSql,
     "sessionize" -> TranscriptQueries.sessionizeSql,

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-retrieval surface over the documents table: a sharded inverted
+  * index and BM25 ranked retrieval — the lexical counterpart of the ANN
+  * stack (ann/Ann.scala) for training-data curation (e.g. "find every
+  * document about X" before a targeted decontamination or sampling pass).
+  *
+  * Scale notes (100 TB):
+  *  - the index build is explode → one hash aggregation; posting lists
+  *    are SHARDED by doc_id so a stop-word's postings split across S
+  *    rows instead of one unbounded reducer row (the classic "the"
+  *    problem) — shard fan-in is a second, cheap agg at query time;
+  *  - BM25 filters to the query's terms BEFORE any aggregation, so the
+  *    shuffled volume is O(matching postings), not O(corpus tokens);
+  *    idf and corpus stats are broadcast (two scalars + one row per
+  *    query term); the final ranking is TakeOrderedAndProject, never a
+  *    global sort.
+  *
+  * Float discipline (oracle-exactness): every division appears exactly
+  * once per factor with the same nesting as the DuckDB SQL, and the
+  * per-term contributions are summed by an ORDER-DEFINED left fold over
+  * the term-sorted array (`aggregate`), not a nondeterministic SUM — the
+  * one remaining engine difference (libm `ln` ulps) is absorbed by
+  * round(·, 6), verified stable at sf0.001 / sf0.01 / sf0.1.
+  */
+object RetrievalQueries {
+
+  private val wordPat = "[a-z0-9]+"
+  private val Shards = 4
+
+  private def docWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      expr(s"regexp_extract_all(lower(text), '$wordPat', 0)").as("w"))
+
+  /** Sharded inverted index: (term, shard) → sorted distinct postings +
+    * per-shard doc frequency. One explode + one hash agg; the postings
+    * string is the deterministic textual form both engines hash alike.
+    */
+  def invertedIndex(s: SparkSession, d: String): DataFrame =
+    docWords(s, d)
+      .select(explode(col("w")).as("term"), col("doc_id"))
+      .select(col("term"), pmod(col("doc_id"), lit(Shards)).cast("int").as("shard"),
+        col("doc_id"))
+      .groupBy(col("term"), col("shard"))
+      // ONE collect_set buffer per group; postings string and df both
+      // derive from it (a separate countDistinct would add an Expand)
+      .agg(sort_array(collect_set(col("doc_id"))).as("p"))
+      .select(col("term"), col("shard"),
+        concat_ws(",", transform(col("p"), _.cast("string"))).as("postings"),
+        size(col("p")).cast("long").as("df_shard"))
+
+  val invertedIndexSql: String =
+    s"""SELECT term, CAST(doc_id % $Shards AS INTEGER) AS shard,
+              array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings,
+              count(DISTINCT doc_id) AS df_shard
+       FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$wordPat')) AS term
+             FROM documents)
+       GROUP BY 1, 2"""
+
+  /** BM25 (k1 = 1.2, b = 0.75) top-10 for a fixed 3-term query. */
+  def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("window", "shuffle", "join")
+    val k = 10
+    val docs = docWords(s, d)
+    val dl = docs.select(col("doc_id"), size(col("w")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(col("w")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .as("idf"))
+    val contrib = tf.join(broadcast(idf), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (col("idf") * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl")))))
+          .as("c"))
+    contrib.groupBy(col("doc_id"))
+      .agg(round(aggregate(
+        transform(array_sort(collect_list(struct(col("term"), col("c")))),
+          x => x.getField("c")),
+        lit(0.0), (a, x) => a + x), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  val bm25TopKSql: String =
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '$wordPat') AS w
+                  FROM documents),
+       dl AS (SELECT doc_id, len(w) AS dl FROM d),
+       stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                 FROM dl),
+       t AS (SELECT doc_id, unnest(w) AS term FROM d),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+              WHERE term IN ('window', 'shuffle', 'join') GROUP BY 1, 2),
+       idf AS (SELECT term,
+                      ln(1.0 + (stats.n - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+               FROM tf, stats GROUP BY term, stats.n),
+       contrib AS (
+         SELECT tf.doc_id, tf.term,
+                idf.idf * ((tf.tf * 2.2) /
+                  (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / stats.avgdl))) AS c
+         FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), stats)
+       SELECT doc_id,
+              round(list_reduce(list_prepend(0.0, list(c ORDER BY term)),
+                (a, b) -> a + b), 6) AS score
+       FROM contrib GROUP BY doc_id
+       ORDER BY score DESC, doc_id LIMIT 10"""
+}

@@ -94,7 +94,8 @@ class PlanSpec extends SparkSpec {
       "ann_expr" -> graft.ann.Ann.bruteForceTopKExpr(emb, 0L, 10),
       "ann_lsh" -> graft.ann.Ann.lshTopK(emb, 0L, 10),
       "ann_ivf" -> graft.ann.Ann.ivfTopK(emb, 0L, 10),
-      "topk_hot_keys" -> RelationalQueries.topkHotKeys(spark, dir))
+      "topk_hot_keys" -> RelationalQueries.topkHotKeys(spark, dir),
+      "bm25_topk" -> RetrievalQueries.bm25TopK(spark, dir))
     plans.foreach { case (name, df) =>
       val p = planOf(df)
       assert(p.contains("TakeOrderedAndProject"),
@@ -104,7 +105,15 @@ class PlanSpec extends SparkSpec {
       // feeding the k-row ranking window, which sits ABOVE TakeOrdered.
       val lines = p.linesIterator.toSeq
       val takeIdx = lines.indexWhere(_.contains("TakeOrderedAndProject"))
-      val badBelow = lines.drop(takeIdx + 1).exists(_.contains("Exchange SinglePartition"))
+      // Exception: a SinglePartition exchange whose child is a PARTIAL
+      // scalar aggregate (keys=[]) moves one row per upstream partition,
+      // not the scored side — the unavoidable (and scale-safe) shape of a
+      // corpus-level scalar like bm25's (N, avgdl).
+      val badBelow = lines.zipWithIndex.drop(takeIdx + 1).exists { case (l, i) =>
+        l.contains("Exchange SinglePartition") &&
+          !lines.drop(i + 1).headOption.exists(c =>
+            c.contains("partial_") && c.contains("keys=[]"))
+      }
       assert(!badBelow, s"$name: single-partition exchange below the top-k:\n$p")
     }
   }
