@@ -9,6 +9,7 @@ import graft.store.IcebergLikeTable
   * evolution, column drops — plus read-only introspection. Usage:
   *
   *   graft.Maintain <tableRoot> compact
+  *   graft.Maintain <tableRoot> optimize <col>[,<col2>]
   *   graft.Maintain <tableRoot> vacuum
   *   graft.Maintain <tableRoot> rebucket <n>
   *   graft.Maintain <tableRoot> drop-column <name>
@@ -22,7 +23,8 @@ object Maintain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: graft.Maintain <tableRoot> <op> [arg]")
     val (root, op) = (args(0), args(1))
-    if (op == "rebucket" || op == "drop-column" || op == "purge-deletes")
+    if (op == "rebucket" || op == "drop-column" || op == "purge-deletes" ||
+        op == "optimize")
       require(args.length >= 3, s"usage: graft.Maintain <tableRoot> $op <arg>")
     // spark-submit provides spark.master; direct runs fall back to local
     val builder = SparkSession.builder()
@@ -43,6 +45,9 @@ object Maintain {
     op match {
       case "compact" =>
         println(s"compacted=${t.compact()}")
+      case "optimize" =>
+        // full clustered rewrite: 1 col = linear sort, 2 = z-order
+        println(s"optimized=${t.optimize(args(2).split(',').toSeq)}")
       case "vacuum" =>
         // out-of-band deep clean: grace-shield files younger than 15 min
         // (an in-flight micro-batch's uncommitted deltas) — see

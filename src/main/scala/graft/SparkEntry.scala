@@ -76,6 +76,8 @@ object SparkEntry {
     // the same replay over the STORE: manifest per-file ts bounds skip
     // out-of-range commits before any scan (readRange file pruning)
     "replay_store_ts" -> (StreamQueries.replayStoreTs _),
+    // the same range read over an OPTIMIZE'd (clustered-rewrite) layout
+    "replay_store_opt" -> (StreamQueries.replayStoreOpt _),
     "g1_fanout" -> (SnapshotQueries.g1Fanout _),
     "g2_signals" -> (SnapshotQueries.g2Signals _),
     "a2_encode" -> (RelationalQueries.a2Encode _),
@@ -348,6 +350,7 @@ object SparkEntry {
     "d1_dump_keys" -> SnapshotQueries.d1DumpKeysSql,
     "replay_to_ts" -> SnapshotQueries.replayToTsSql,
     "replay_store_ts" -> SnapshotQueries.replayToTsSql, // same cutoff + contract
+    "replay_store_opt" -> SnapshotQueries.replayToTsSql, // post-OPTIMIZE layout
 
     "g1_fanout" -> SnapshotQueries.g1FanoutSql,
     "g2_signals" -> SnapshotQueries.g2SignalsSql,

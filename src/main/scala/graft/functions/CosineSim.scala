@@ -104,6 +104,12 @@ object GraftFunctions {
   def latest_by(payload: Column, ord: Column): Column =
     latest_by(payload, ord, org.apache.spark.sql.functions.lit(0L))
 
+  /** Morton interleave of two 31-bit-scaled longs (functions/ZOrderBits
+    * .scala) — the z-order clustering key for two-column OPTIMIZE.
+    */
+  def zorder_bits(a: Column, b: Column): Column =
+    Shim.column(ZOrderBits(Shim.expression(a), Shim.expression(b)))
+
   private[functions] def cosineSimBuilder(
       args: Seq[Expression]): Expression = {
     require(args.length == 2, s"cosine_sim takes 2 arguments, got ${args.length}")
@@ -141,6 +147,12 @@ object GraftFunctions {
     BoundedTopK(k, args(1), args(2))
   }
 
+  private[functions] def zorderBitsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"zorder_bits takes 2 arguments, got ${args.length}")
+    ZOrderBits(args(0), args(1))
+  }
+
   /** Make the native functions reachable from SQL text on an existing
     * session: `SELECT cosine_sim(embedding, q_emb)`,
     * `SELECT band_sig(embedding, 4, 4)`,
@@ -151,6 +163,7 @@ object GraftFunctions {
     Shim.registerFunction(spark, "band_sig", bandSigBuilder)
     Shim.registerFunction(spark, "bounded_topk", boundedTopKBuilder)
     Shim.registerFunction(spark, "latest_by", latestByBuilder)
+    Shim.registerFunction(spark, "zorder_bits", zorderBitsBuilder)
   }
 }
 

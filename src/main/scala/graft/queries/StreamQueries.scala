@@ -389,6 +389,55 @@ object StreamQueries {
         count(lit(1)).as("event_count"))
   }
 
+  // ---- OPTIMIZE'd store ------------------------------------------------
+  private val optLogCache = new FixtureCache[IcebergLikeTable]()
+
+  /** The same 4-commit ts-quartile event log, then `optimize(ts_us)` —
+    * the clustered full rewrite (store/IcebergLikeTable.optimize). The
+    * per-file stats the rewrite refreshes must keep readRange exact, and
+    * the logical content must survive the rewrite byte-for-byte: SAME
+    * oracle as replay_to_ts, running over the post-OPTIMIZE layout (one
+    * clustered base file per bucket, row groups time-tight).
+    */
+  private def optLogSource(s: SparkSession, d: String): IcebergLikeTable =
+    optLogCache.getOrElseUpdate((s, d)) {
+      locally({
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val ev = Tables.events(s, d).select(
+          col("event_id").cast("string").as("evt_key"),
+          col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"))
+        val (lo, hi) = ev.agg(min(col("ts_us")), max(col("ts_us")))
+          .as[(Long, Long)].head()
+        val tmp = Files.createTempDirectory("graft-optlog-q").toString
+        val t = new IcebergLikeTable(s"$tmp/table", 8, keyCol = "evt_key",
+          emptySchema = ev.schema, inlineCompaction = false,
+          maxDeltasPerBucket = 1000, statsCol = Some("ts_us"))
+        val step = math.max((hi - lo) / 4 + 1, 1L)
+        (0 until 4).foreach { b =>
+          val from = lo + b * step
+          t.merge(ev.filter(col("ts_us") >= from && col("ts_us") < from + step),
+            "evt_key", b.toLong)
+        }
+        t.optimize(Seq("ts_us"))
+        t
+      })
+    }
+
+  /** replay_store_ts over the OPTIMIZE'd layout (same cutoff, same
+    * oracle): proves the clustered rewrite changes plans, not answers.
+    */
+  def replayStoreOpt(s: SparkSession, d: String): DataFrame = {
+    val cutoffUs = java.time.Instant.parse("2024-01-15T00:00:00Z")
+      .toEpochMilli * 1000L
+    optLogSource(s, d).readRange(Long.MinValue, cutoffUs)
+      .groupBy(col("user_id")).agg(
+        graft.functions.GraftFunctions.latest_by(struct(col("event_id")),
+          col("ts"), col("event_id")).getField("event_id").as("last_event_id"),
+        count(lit(1)).as("event_count"))
+  }
+
   /** Per-conversation latest-k turns via the bounded-buffer Aggregator
     * (functions/TopKPerKey.scala): ObjectHashAggregate with map-side
     * partial combine — ≤ k rows per key per partition cross the one

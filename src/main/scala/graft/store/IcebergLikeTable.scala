@@ -838,7 +838,12 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       // serialized 1024-bucket tables' delta writes on real clusters)
       .repartition(math.min(nb,
         math.max(spark.sparkContext.defaultParallelism, 32)), col("__bucket"))
-      .sortWithinPartitions(col(keyCol)), // deterministic file content order
+      // __bucket PREFIX: satisfies the partitionBy writer's required
+      // ordering, so V1Writes inserts no Sort of its own — without the
+      // prefix, the writer's Sort(__bucket) makes Catalyst's
+      // EliminateSorts drop this one and the files land UNSORTED by key
+      // (observed: ts-order survived two explicit sorts)
+      .sortWithinPartitions(col("__bucket"), col(keyCol)), // deterministic file order
       deltaDir)
 
     val newDeltaFiles: Map[Int, Seq[String]] = listBucketFiles(deltaDir, s"data/delta-$version")
@@ -922,7 +927,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       .withColumn("__bucket", bucketExpr(keyCol, nb))
       .repartition(math.min(nb,
         math.max(spark.sparkContext.defaultParallelism, 32)), col("__bucket"))
-      .sortWithinPartitions(col(keyCol)), dir)
+      .sortWithinPartitions(col("__bucket"), col(keyCol)), dir) // see merge: __bucket prefix keeps the sort alive
     val newBase = listBucketFiles(dir, dirRel)
     commitAndGc(m, m.copy(buckets = newBase, deltas = Map.empty,
       // markers with seq > beforeBatch survive the rewrite, so the purge
@@ -992,7 +997,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       .withColumn("__bucket", bucketExpr(keyCol, newBuckets))
       .repartition(math.min(newBuckets,
         math.max(spark.sparkContext.defaultParallelism, 32)), col("__bucket"))
-      .sortWithinPartitions(col(keyCol)), dir)
+      .sortWithinPartitions(col("__bucket"), col(keyCol)), dir) // see merge: __bucket prefix keeps the sort alive
     val newBase = listBucketFiles(dir, dirRel)
     commitAndGc(m, m.copy(buckets = newBase,
       deltas = Map.empty, bucketCount = Some(newBuckets)))
@@ -1039,7 +1044,7 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
           .parquet(files: _*))
         .withColumn("__bucket", bucketExpr(keyCol, nBuckets))
         .repartition(math.max(toCompact.size, 1), col("__bucket"))
-        .sortWithinPartitions(col(keyCol)), baseDir)
+        .sortWithinPartitions(col("__bucket"), col(keyCol)), baseDir) // see merge: __bucket prefix keeps the sort alive
       val newBase = listBucketFiles(baseDir, baseRel)
       val b2 = base.filter { case (b, _) => !toCompact.contains(b) } ++ newBase
       val d2 = deltas.map { case (b, fs) =>
@@ -1062,6 +1067,71 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
         m.lastBatchId, m.tableSchema.getOrElse(emptySchema), bucketsOf(m),
         withDel = m.hasDeletes)
     commitAndGc(m, m.copy(buckets = b2, deltas = d2))
+    true
+  }
+
+  /** OPTIMIZE: full clustered rewrite — every bucket's files (deltas
+    * resolved) land re-sorted by `clusterBy` WITHIN each bucket file, so
+    * parquet row-group min/max stay tight on the cluster column(s) and
+    * range predicates skip row groups inside big compacted bases (the
+    * granularity [[readRange]]'s per-FILE stats lose the moment
+    * compaction folds a bucket's history into one wide-range file).
+    *
+    *  - 1 column: linear sort (Iceberg sort-order analog).
+    *  - 2 columns: Morton z-order ([[graft.functions.ZOrderBits]]) over
+    *    both dims scaled to [0, 2^31) by their global min/max — range
+    *    reads on EITHER column skip row groups. The min/max pass is one
+    *    extra (tiny-result) job over the resolved frame; an explicit
+    *    maintenance op pays it knowingly.
+    *
+    * Logical content and lastBatchId are unchanged — same contract as
+    * [[compact]], same single-writer atomic commit, CDC `__seq` (and any
+    * delete markers) preserved. Cluster columns must be integral.
+    */
+  def optimize(clusterBy: Seq[String]): Boolean = {
+    require(clusterBy.nonEmpty && clusterBy.size <= 2,
+      "optimize clusters by 1 (linear sort) or 2 (z-order) columns")
+    val m = readManifest()
+    if (m.dataFiles.isEmpty) return false
+    val nb = bucketsOf(m)
+    val schema = m.tableSchema.getOrElse(emptySchema)
+    clusterBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"cluster column '$c' is not in the table schema"))
+    val live = m.dataFiles
+    val resolved = resolveKeepSeq(spark.read
+      .schema(plusSeq(schema, m.hasDeletes))
+      .parquet(live.map(f => s"$root/$f"): _*))
+    val zkey: Column =
+      if (clusterBy.size == 1) col(clusterBy.head)
+      else {
+        val Seq(a, b) = clusterBy.map(col)
+        val r = resolved.agg(min(a), max(a), min(b), max(b)).head()
+        def scaled(c: Column, i: Int): Column =
+          if (r.isNullAt(i) || r.isNullAt(i + 1)) lit(0L)
+          else {
+            val mn = r.getAs[Number](i).longValue
+            val mx = r.getAs[Number](i + 1).longValue
+            if (mx == mn) lit(0L)
+            else floor((c.cast("double") - mn.toDouble) *
+              (2147483647.0 / (mx - mn).toDouble)).cast("long")
+          }
+        graft.functions.GraftFunctions.zorder_bits(scaled(a, 0), scaled(b, 2))
+      }
+    val version = s"v${m.lastBatchId}z"
+    val baseRel = Iterator.from(0)
+      .map(i => if (i == 0) s"data/base-$version" else s"data/base-$version-r$i")
+      .find(n => !Files.exists(Paths.get(root, n)) &&
+        !live.exists(_.startsWith(n + "/"))).get
+    // (__bucket, zkey) sort: the partition column as PREFIX means the
+    // file writer's required ordering is already satisfied — it inserts
+    // no sort of its own, so the within-file order is exactly the
+    // cluster order
+    bucketWrite(resolved.withColumn("__bucket", bucketExpr(keyCol, nb))
+      .repartition(nb, col("__bucket"))
+      .sortWithinPartitions(col("__bucket"), zkey), s"$root/$baseRel")
+    val newBase = listBucketFiles(s"$root/$baseRel", baseRel)
+    commitAndGc(m, m.copy(buckets = newBase,
+      deltas = m.deltas.map { case (b, _) => b -> Seq.empty[String] }))
     true
   }
 
