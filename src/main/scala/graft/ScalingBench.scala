@@ -151,6 +151,28 @@ object ScalingBench {
           .agg(count(lit(1)).as("n"),
             approx_count_distinct(col("conv_id")).as("nc")))
       }),
+      // CEP strict 3-step pattern (user → tool turn → user) over the
+      // full transcript log: ONE conv-keyed window pass, step predicates
+      // evaluated once and led k−1 rows (cep/Cep.matchStrict) — the
+      // sequence-detection cost is the sort share, same shape as
+      // asof_tool. (The streaming NFA shares stream_fold's fMGWS
+      // machinery; its scaling evidence is that workload's.)
+      "cep_strict" -> (() => best {
+        noop(graft.cep.Cep.matchStrict(spark.read.parquet(SharedInput),
+          col("conv_id"), col("ts"), col("turn_idx"),
+          Seq(graft.cep.Cep.Step("u", col("role") === "user"),
+            graft.cep.Cep.Step("t", col("role") === "tool"),
+            graft.cep.Cep.Step("u2", col("role") === "user")),
+          withinUs = 6L * 3600 * 1000000))
+      }),
+      // Range-read A/B: the SAME ts-stats table (24M turns, one row per
+      // turn, 4 hash-interleaved commits so neither files nor row groups
+      // are time-clustered on arrival), timed on a 5% time-slice
+      // readRange — raw layout vs after optimize(ts_us). Build is outside
+      // the timed region; the pair quantifies what the clustered rewrite
+      // buys a replay-to-timestamp read at scale.
+      "store_range_raw" -> (() => rangeReadBench(spark, optimize = false)),
+      "store_range_opt" -> (() => rangeReadBench(spark, optimize = true)),
       // CPU-bound reference workload (regex shingling + 32 hash functions
       // per row): shows the engine's scaling when not memory-bandwidth
       // bound. 1/16 deterministic sample keeps the 4-core run ~1 minute.
@@ -352,6 +374,53 @@ object ScalingBench {
         f""""shuffle_mb":$mb%.1f}""")
     }
     spark.stop()
+  }
+
+  /** store_range_raw / store_range_opt: one ts-stats table of 24M turn
+    * rows (4 hash-interleaved commits — neither files nor row groups are
+    * time-clustered on arrival), folded to a clean base by compact()
+    * (raw: key-sorted files, time-random row groups) or optimize(ts_us)
+    * (opt: time-clustered row groups). Timed region: a 5% time-slice
+    * readRange, best-of-reps. 8 MB parquet blocks so each ~1.5M-row
+    * bucket file holds several row groups — the skipping unit under
+    * test; both variants build identically, so the delta is clustering
+    * alone.
+    */
+  private def rangeReadBench(spark: SparkSession, optimize: Boolean): Double = {
+    implicit val sp: SparkSession = spark
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val tmp = Files.createTempDirectory("graft-rangeab").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", (8 * 1024 * 1024).toString)
+    try {
+      val turns = spark.read.parquet(SharedInput)
+        .where(pmod(hash(col("conv_id"), col("turn_idx")), lit(2)) === 0)
+        .select(concat_ws("-", col("conv_id"), col("turn_idx")).as("tkey"),
+          col("conv_id"), col("turn_idx"), col("role"),
+          unix_micros(col("ts")).as("ts_us"))
+      val t = new graft.store.IcebergLikeTable(s"$tmp/t", 16, keyCol = "tkey",
+        emptySchema = turns.schema, inlineCompaction = false,
+        maxDeltasPerBucket = 2, statsCol = Some("ts_us"))
+      (0 until 4).foreach { b =>
+        t.merge(turns.where(pmod(hash(col("tkey")), lit(4)) === b),
+          "tkey", b.toLong)
+      }
+      if (optimize) t.optimize(Seq("ts_us")) else t.compact()
+      val r = turns.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val mid = lo + (hi - lo) / 2
+      (1 to reps).map { _ =>
+        Bench.time {
+          t.readRange(mid, mid + (hi - lo) / 20)
+            .write.mode("overwrite").format("noop").save()
+        }._2
+      }.min
+    } finally {
+      if (oldBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", oldBlock)
+      Bench.rmrf(tmp)
+    }
   }
 }
 
