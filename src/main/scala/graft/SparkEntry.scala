@@ -137,6 +137,8 @@ object SparkEntry {
     "cep_pattern" -> (CepQueries.cepPattern _),
     "cep_funnel" -> (CepQueries.cepFunnel _),
     "cep_stream" -> (CepQueries.cepStream _),
+    // quantified pattern (A B+ C, maximal middle run)
+    "cep_quant" -> (CepQueries.cepQuant _),
     // lexical retrieval: sharded inverted index + BM25 ranked top-k
     "inverted_index" -> (RetrievalQueries.invertedIndex _),
     "bm25_topk" -> (RetrievalQueries.bm25TopK _),
@@ -383,6 +385,7 @@ object SparkEntry {
     "cep_pattern" -> CepQueries.cepPatternSql,
     "cep_funnel" -> CepQueries.cepFunnelSql,
     "cep_stream" -> CepQueries.cepStreamSql, // streaming NFA == batch window form
+    "cep_quant" -> CepQueries.cepQuantSql,
     "inverted_index" -> RetrievalQueries.invertedIndexSql,
     "bm25_topk" -> RetrievalQueries.bm25TopKSql,
     "assemble_convs" -> TranscriptQueries.assembleConvsSql,

@@ -77,6 +77,45 @@ object Cep {
         col("__ts_us").as("start_ts_us"), col("end_ts_us"))
   }
 
+  /** Quantified strict pattern `first middle+ last` ("A B+ C"): anchored
+    * at a `first` event, a maximal run (≥1) of contiguous `middle` events
+    * follows, and the FIRST non-`middle` event after the anchor must
+    * satisfy `last`, within the horizon. Possessive/maximal-middle
+    * semantics — assumes `middle` and `last` are disjoint (e.g. distinct
+    * event types): the SQL-expressible contract, and what makes the
+    * streaming NFA's verdict identical ([[CepStream.matchesQuant]]).
+    *
+    * Shape: row_number + ONE conditional forward-min window (first
+    * non-middle position after each row) + one key-equi self-join on the
+    * resolved position — never a variable-length explode; O(1)/row state.
+    *
+    * Output: key, e1 (anchor idx), e_end (last idx), n_mid (run length),
+    * start_ts_us, end_ts_us.
+    */
+  def matchOneOrMore(df: DataFrame, key: Column, ts: Column, idx: Column,
+      first: Step, middle: Step, last: Step, withinUs: Long): DataFrame = {
+    val w = Window.partitionBy("__key").orderBy(col("__ts_us"), col("__idx"))
+    val base = df.select(key.as("__key"), unix_micros(ts).as("__ts_us"),
+        idx.cast("long").as("__idx"), first.pred.as("__pf"),
+        middle.pred.as("__pm"), last.pred.as("__pl"))
+      .withColumn("__pos", row_number().over(w))
+    val wf = Window.partitionBy("__key").orderBy(col("__pos"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val p = base.withColumn("__nxt",
+      min(when(!col("__pm"), col("__pos"))).over(wf))
+    val q = p.select(col("__key").as("__k2"), col("__pos").as("__pos2"),
+      col("__pl").as("__pl2"), col("__idx").as("__idx2"),
+      col("__ts_us").as("__ts2"))
+    p.filter(col("__pf"))
+      .join(q, col("__key") === col("__k2") && col("__nxt") === col("__pos2"))
+      .filter(col("__pl2") && col("__pos2") > col("__pos") + 1 &&
+        col("__ts2") - col("__ts_us") <= lit(withinUs))
+      .select(col("__key").as("key"), col("__idx").as("e1"),
+        col("__idx2").as("e_end"),
+        (col("__pos2") - col("__pos") - 1).as("n_mid"),
+        col("__ts_us").as("start_ts_us"), col("__ts2").as("end_ts_us"))
+  }
+
   /** Relaxed followed-by funnel: for each key, t(0) = first event-time
     * where step 0 holds; t(j) = first event-time where step j holds
     * STRICTLY after t(j−1) and within `within` (an INTERVAL literal

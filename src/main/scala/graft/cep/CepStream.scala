@@ -25,6 +25,12 @@ final case class CepMatch(convId: String, ids: Seq[Long],
 
 final case class CepState(buf: Seq[CepEvent])
 
+/** One quantified-pattern match ([[CepStream.matchesQuant]]): anchor,
+  * last-step event, and the middle run's length.
+  */
+final case class CepQuantMatch(convId: String, e1: Long, eEnd: Long,
+    nMid: Long, startTsUs: Long, endTsUs: Long)
+
 /** Streaming CEP: the strict-contiguity matcher of [[Cep.matchStrict]]
   * as a watermark-driven `flatMapGroupsWithState` NFA — the north-rule
   * CEP surface (pattern over a live transcript/event stream, exactly-once,
@@ -80,6 +86,59 @@ object CepStream {
     // and can't succeed a live anchor either: pending anchors have
     // ts ≥ bound and successors never precede their anchor
     (matches.result(), all.drop(i))
+  }
+
+  /** Quantified-pattern transition (`first middle+ last`, bit 0/1/2,
+    * maximal-middle semantics, middle/last disjoint — see
+    * [[Cep.matchOneOrMore]]). Same finalization rule as [[emitAndEvict]]:
+    * any match satisfying the span bound lies wholly inside the anchor's
+    * horizon, where every event has provably arrived; a first-non-middle
+    * event BEYOND the horizon fails the span check in the final data
+    * too, so verdicts agree with the batch form even while later events
+    * are still missing.
+    */
+  def emitAndEvictQuant(buf: Seq[CepEvent], fresh: Seq[CepEvent], wmUs: Long,
+      withinUs: Long): (Seq[CepQuantMatch], Seq[CepEvent]) = {
+    val all = (buf ++ fresh).sortBy(e => (e.tsUs, e.idx)).toVector
+    val bound = wmUs - withinUs
+    val matches = Vector.newBuilder[CepQuantMatch]
+    var i = 0
+    while (i < all.length && all(i).tsUs < bound) {
+      if ((all(i).mask & 1) != 0) {
+        var p = i + 1
+        while (p < all.length && (all(p).mask & 2) != 0) p += 1
+        if (p > i + 1 && p < all.length && (all(p).mask & 4) != 0 &&
+            all(p).tsUs - all(i).tsUs <= withinUs)
+          matches += CepQuantMatch(all(i).convId, all(i).idx, all(p).idx,
+            (p - i - 1).toLong, all(i).tsUs, all(p).tsUs)
+      }
+      i += 1
+    }
+    (matches.result(), all.drop(i))
+  }
+
+  /** Wire the quantified NFA over a watermarked stream (same contract as
+    * [[matches]]).
+    */
+  def matchesQuant(events: Dataset[CepEvent], withinUs: Long)(
+      implicit s: SparkSession): Dataset[CepQuantMatch] = {
+    import s.implicits._
+    events.groupByKey(_.convId)
+      .flatMapGroupsWithState[CepState, CepQuantMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[CepEvent], state: GroupState[CepState]) =>
+          val buf = state.getOption.map(_.buf).getOrElse(Seq.empty)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (out, kept) = emitAndEvictQuant(buf, it.toSeq, wmUs, withinUs)
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(CepState(kept))
+            val flushAtMs = (kept.map(_.tsUs).min + withinUs) / 1000L + 1L
+            state.setTimeoutTimestamp(
+              math.max(flushAtMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
   }
 
   /** Wire the NFA over a watermarked event stream. `events` must already

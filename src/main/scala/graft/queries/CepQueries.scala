@@ -54,6 +54,42 @@ object CepQueries {
        WHERE event_type = 'view' AND y2 = 'click' AND y3 = 'purchase'
          AND t3 <= ts + INTERVAL 72 HOUR"""
 
+  /** Quantified pattern view (click)+ purchase within 72h: the maximal
+    * click-run form ([[Cep.matchOneOrMore]] — one window pair + one
+    * position self-join, no variable-length explode).
+    */
+  def cepQuant(s: SparkSession, d: String): DataFrame =
+    Cep.matchOneOrMore(Tables.events(s, d),
+        key = col("user_id").cast("string"), ts = col("ts"),
+        idx = col("event_id"),
+        first = Cep.Step("view", col("event_type") === "view"),
+        middle = Cep.Step("click", col("event_type") === "click"),
+        last = Cep.Step("purchase", col("event_type") === "purchase"),
+        withinUs = WithinUs)
+      .select(col("key").as("conv_id"), col("e1"), col("e_end"),
+        col("n_mid"), col("start_ts_us").as("t1_us"),
+        col("end_ts_us").as("t_end_us"))
+
+  val cepQuantSql: String =
+    """WITH base AS (
+         SELECT user_id, event_id, event_type, ts,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS pos
+         FROM events),
+       p AS (
+         SELECT *,
+                min(CASE WHEN event_type <> 'click' THEN pos END)
+                  OVER (PARTITION BY user_id ORDER BY pos
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                  AS nxt
+         FROM base)
+       SELECT CAST(p.user_id AS VARCHAR) AS conv_id, p.event_id AS e1,
+              q.event_id AS e_end, CAST(q.pos - p.pos - 1 AS BIGINT) AS n_mid,
+              epoch_us(p.ts) AS t1_us, epoch_us(q.ts) AS t_end_us
+       FROM p JOIN p q ON q.user_id = p.user_id AND q.pos = p.nxt
+       WHERE p.event_type = 'view' AND q.event_type = 'purchase'
+         AND q.pos > p.pos + 1 AND q.ts <= p.ts + INTERVAL 72 HOUR"""
+
   /** signup → click → purchase funnel, each step within 3 days of the
     * first signup — chained conditional window mins, one Exchange.
     */

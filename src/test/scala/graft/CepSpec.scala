@@ -77,6 +77,93 @@ class CepSpec extends SparkSpec {
     assert(got("E") === ("E", None, None, None, 0))
   }
 
+  test("matchOneOrMore: maximal middle run, first non-middle must be last") {
+    val df = frame(
+      // a b b c: one match, run length 2
+      ("A", 0, "a", T0), ("A", 1, "b", T0 + H), ("A", 2, "b", T0 + 2 * H),
+      ("A", 3, "c", T0 + 3 * H),
+      // a b x c: first non-b is x — NO match (possessive, no skipping)
+      ("B", 0, "a", T0), ("B", 1, "b", T0 + H), ("B", 2, "x", T0 + 2 * H),
+      ("B", 3, "c", T0 + 3 * H),
+      // a c: zero middles — no match (+ requires >= 1)
+      ("C", 0, "a", T0), ("C", 1, "c", T0 + H),
+      // a b c, but c outside the horizon
+      ("D", 0, "a", T0), ("D", 1, "b", T0 + H), ("D", 2, "c", T0 + 90 * H))
+    val got = Cep.matchOneOrMore(df, col("conv"), col("ts"), col("idx"),
+        Cep.Step("a", col("typ") === "a"), Cep.Step("b", col("typ") === "b"),
+        Cep.Step("c", col("typ") === "c"), withinUs = 72 * H)
+      .select(col("key"), col("e1"), col("e_end"), col("n_mid"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("A", 0L, 3L, 2L)))
+  }
+
+  test("emitAndEvictQuant: incremental passes equal one big pass") {
+    val cycle = Seq(1, 2, 2, 4, 0, 2, 4, 1, 0, 2) // a b b c x b c a x b
+    val all = (0 until 40).map { i =>
+      ev("A", i.toLong, T0 + i * H, cycle(i % 10))
+    }
+    val within = 10 * H
+    val (oneShot, _) =
+      CepStream.emitAndEvictQuant(Nil, all, Long.MaxValue / 2, within)
+    var buf: Seq[CepEvent] = Nil
+    var got = Vector.empty[graft.cep.CepQuantMatch]
+    all.grouped(9).foreach { chunk =>
+      val wm = chunk.map(_.tsUs).max - 60L * 1000000
+      val (m, k) = CepStream.emitAndEvictQuant(buf, chunk, wm, within)
+      got ++= m; buf = k
+    }
+    val (tail, _) =
+      CepStream.emitAndEvictQuant(buf, Nil, Long.MaxValue / 2, within)
+    got ++= tail
+    assert(oneShot.nonEmpty)
+    assert(got.sortBy(_.startTsUs) === oneShot.sortBy(_.startTsUs))
+  }
+
+  test("quantified streaming NFA equals the batch join form") {
+    // every conv reads the same cyclic type sequence at offset c, so each
+    // contains a-b-b-c and a-b-c runs while chunk boundaries cut them at
+    // different places per conv
+    val cyc = Seq("a", "b", "b", "c", "x", "a", "b", "c", "b", "x")
+    val rows = for {
+      c <- 0 until 5
+      i <- 0 until 50
+    } yield (s"q$c", (c * 1000 + i).toLong, cyc((i + c) % 10),
+      T0 + (i * 2L + c) * H)
+    val df = frame(rows: _*)
+    val within = 12 * H
+    val expect = Cep.matchOneOrMore(df, col("conv"), col("ts"), col("idx"),
+        Cep.Step("a", col("typ") === "a"), Cep.Step("b", col("typ") === "b"),
+        Cep.Step("c", col("typ") === "c"), within)
+      .select(col("key"), col("e1"), col("e_end"), col("n_mid"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(expect.nonEmpty)
+
+    val mask = Seq("a", "b", "c").zipWithIndex.map { case (t, j) =>
+      when(col("typ") === t, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    implicit val s = spark
+    val input = MemoryStream[(String, Long, String, Long)](spark)
+    val events = input.toDS().toDF("conv", "idx", "typ", "us")
+      .select(col("conv"), col("idx"), col("typ"),
+        timestamp_micros(col("us")).as("ts"))
+      .select(col("conv").as("convId"), col("idx"),
+        unix_micros(col("ts")).as("tsUs"), mask.as("mask"), col("ts"))
+      .withWatermark("ts", "1 minute")
+      .as[CepEvent]
+    val q = CepStream.matchesQuant(events, within).writeStream
+      .outputMode("append").format("memory").queryName("cepq_out").start()
+    rows.sortBy(_._4).grouped(41).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    input.addData(Seq(("zz", 999999L, "x", T0 + 10000 * H)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cepq_out")
+      .select(col("convId"), col("e1"), col("eEnd"), col("nMid"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === expect)
+  }
+
   // ---- the pure NFA transition ----------------------------------------
 
   private def ev(conv: String, idx: Long, us: Long, mask: Int) =
