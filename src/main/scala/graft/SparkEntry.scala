@@ -78,6 +78,8 @@ object SparkEntry {
     "replay_store_ts" -> (StreamQueries.replayStoreTs _),
     // the same range read over an OPTIMIZE'd (clustered-rewrite) layout
     "replay_store_opt" -> (StreamQueries.replayStoreOpt _),
+    // the time-window read as SQL through GraftBucketPrune's range rewrite
+    "q_sql_range" -> (StreamQueries.qSqlRange _),
     "g1_fanout" -> (SnapshotQueries.g1Fanout _),
     "g2_signals" -> (SnapshotQueries.g2Signals _),
     "a2_encode" -> (RelationalQueries.a2Encode _),
@@ -353,6 +355,7 @@ object SparkEntry {
     "replay_to_ts" -> SnapshotQueries.replayToTsSql,
     "replay_store_ts" -> SnapshotQueries.replayToTsSql, // same cutoff + contract
     "replay_store_opt" -> SnapshotQueries.replayToTsSql, // post-OPTIMIZE layout
+    "q_sql_range" -> StreamQueries.qSqlRangeSql,
 
     "g1_fanout" -> SnapshotQueries.g1FanoutSql,
     "g2_signals" -> SnapshotQueries.g2SignalsSql,

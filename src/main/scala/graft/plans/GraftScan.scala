@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, In, InSet, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftshim.Shim
@@ -66,6 +66,10 @@ object GraftScan {
   *    pruned single-bucket read ([[IcebergLikeTable.lookup]]): O(1/B) of
   *    the files, no job spent hashing (the bucket is computed driver-side
   *    from the committed bucket count);
+  *  - `Filter(... statsCol ≤/≥/BETWEEN … ...)` → the stats-pruned range
+  *    scan, but only when provably snapshot-exact (no outstanding deltas
+  *    — see `PinnedView.rangeScanIfExact`); SQL time-window reads over a
+  *    compacted/OPTIMIZE'd table touch only the intersecting files;
   *  - any other shape → the ordinary snapshot-consistent [[IcebergLikeTable.read]].
   *
   * The replacement subplan is re-rooted under a Project that re-binds the
@@ -108,10 +112,55 @@ object GraftBucketPrune extends Rule[LogicalPlan] with PredicateHelper {
               vs.toSeq.collect { case v: UTF8String => v.toString }
           }
         }
+        // range bounds on the table's stats column (ts_us BETWEEN …,
+        // ts_us <= …): prunable to the intersecting files — but ONLY via
+        // PinnedView.rangeScanIfExact, which refuses when outstanding
+        // deltas could make file skipping resurrect superseded rows.
+        // Strict bounds (<, >) prune with their inclusive superset; the
+        // retained Filter enforces exactness either way.
+        def longLit(l: Literal): Option[Long] = l.value match {
+          case i: java.lang.Integer => Some(i.toLong)
+          case j: java.lang.Long => Some(j)
+          case s: java.lang.Short => Some(s.toLong)
+          case _ => None
+        }
+        val statsAttr = g.table.statsCol.flatMap(sc => g.output.find(_.name == sc))
+        val bounds: Seq[(Option[Long], Option[Long])] = statsAttr.toSeq.flatMap { a =>
+          splitConjunctivePredicates(cond).flatMap {
+            case GreaterThanOrEqual(l: AttributeReference, lit: Literal)
+                if l.semanticEquals(a) => longLit(lit).map(v => (Some(v), None))
+            case GreaterThan(l: AttributeReference, lit: Literal)
+                if l.semanticEquals(a) => longLit(lit).map(v => (Some(v), None))
+            case LessThanOrEqual(l: AttributeReference, lit: Literal)
+                if l.semanticEquals(a) => longLit(lit).map(v => (None, Some(v)))
+            case LessThan(l: AttributeReference, lit: Literal)
+                if l.semanticEquals(a) => longLit(lit).map(v => (None, Some(v)))
+            case EqualTo(l: AttributeReference, lit: Literal)
+                if l.semanticEquals(a) => longLit(lit).map(v => (Some(v), Some(v)))
+            case GreaterThanOrEqual(lit: Literal, r: AttributeReference)
+                if r.semanticEquals(a) => longLit(lit).map(v => (None, Some(v)))
+            case GreaterThan(lit: Literal, r: AttributeReference)
+                if r.semanticEquals(a) => longLit(lit).map(v => (None, Some(v)))
+            case LessThanOrEqual(lit: Literal, r: AttributeReference)
+                if r.semanticEquals(a) => longLit(lit).map(v => (Some(v), None))
+            case LessThan(lit: Literal, r: AttributeReference)
+                if r.semanticEquals(a) => longLit(lit).map(v => (Some(v), None))
+            case EqualTo(lit: Literal, r: AttributeReference)
+                if r.semanticEquals(a) => longLit(lit).map(v => (Some(v), Some(v)))
+            case _ => None
+          }
+        }
+        val range: Option[(Long, Long)] =
+          if (bounds.isEmpty) None
+          else Some((
+            (bounds.flatMap(_._1) :+ Long.MinValue).max,
+            (bounds.flatMap(_._2) :+ Long.MaxValue).min))
         val scan = keys match {
           case Some(Seq(k)) => pinOf(g.table).lookup(g.table.keyCol, k)
           case Some(ks) if ks.nonEmpty => pinOf(g.table).lookupMany(g.table.keyCol, ks)
-          case _ => pinOf(g.table).read()
+          case _ => range.flatMap { case (lo, hi) =>
+            pinOf(g.table).rangeScanIfExact(lo, hi)
+          }.getOrElse(pinOf(g.table).read())
         }
         Filter(cond, rebind(g, scan))
       case g: GraftScan => rebind(g, pinOf(g.table).read())

@@ -362,7 +362,8 @@ object StreamQueries {
         val tmp = Files.createTempDirectory("graft-tslog-q").toString
         val t = new IcebergLikeTable(s"$tmp/table", 8, keyCol = "evt_key",
           emptySchema = ev.schema, inlineCompaction = false,
-          maxDeltasPerBucket = 1000, statsCol = Some("ts_us"))
+          maxDeltasPerBucket = 1000, statsCol = Some("ts_us"),
+          appendOnly = true) // event log: every evt_key written once
         val step = math.max((hi - lo) / 4 + 1, 1L)
         (0 until 4).foreach { b =>
           val from = lo + b * step
@@ -388,6 +389,31 @@ object StreamQueries {
           col("ts"), col("event_id")).getField("event_id").as("last_event_id"),
         count(lit(1)).as("event_count"))
   }
+
+  /** The same time-window read issued as SQL through the GraftScan view:
+    * `WHERE ts_us <= cutoff` over the append-only event-log table routes
+    * through GraftBucketPrune's range rewrite — only the commits whose
+    * per-file stats intersect the cutoff are scanned (GraftScanSpec
+    * asserts the file skipping; this row proves SQL answers stay exact).
+    */
+  def qSqlRange(s: SparkSession, d: String): DataFrame = {
+    val t = tsLogSource(s, d)
+    graft.plans.GraftScan.install(s)
+    graft.plans.GraftScan.relation(s, t)
+      .createOrReplaceTempView("graft_tslog")
+    val cutoffUs = java.time.Instant.parse("2024-01-15T00:00:00Z")
+      .toEpochMilli * 1000L
+    s.sql(s"""SELECT user_id, count(*) AS n, min(event_id) AS e_min,
+                     max(event_id) AS e_max
+              FROM graft_tslog WHERE ts_us <= $cutoffUs
+              GROUP BY user_id""")
+  }
+
+  val qSqlRangeSql: String =
+    """SELECT user_id, count(*) AS n, min(event_id) AS e_min,
+              max(event_id) AS e_max
+       FROM events WHERE epoch_us(ts) <= 1705276800000000
+       GROUP BY user_id"""
 
   // ---- OPTIMIZE'd store ------------------------------------------------
   private val optLogCache = new FixtureCache[IcebergLikeTable]()

@@ -78,7 +78,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     val retainManifests: Int = 2, val inlineCompaction: Boolean = true,
     val maxDeltaBytesPerBucket: Long = Long.MaxValue,
     val statsCol: Option[String] = None,
-    val keyBloomNdv: Option[Long] = None)(
+    val keyBloomNdv: Option[Long] = None,
+    val appendOnly: Boolean = false)(
     implicit spark: SparkSession) {
 
   private val manifestPath: Path = Paths.get(root, "manifest.json")
@@ -585,10 +586,12 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * metadata-pruned merge-on-read scan — so range reads are the
     * ingest-log API, not the snapshot API ([[read]]).
     */
-  def readRange(lo: Long, hi: Long): DataFrame = {
+  def readRange(lo: Long, hi: Long): DataFrame =
+    readRangeWith(readManifest(), lo, hi)
+
+  private def readRangeWith(m: Manifest, lo: Long, hi: Long): DataFrame = {
     val sc = statsCol.getOrElse(throw new IllegalStateException(
       "readRange requires a table built with statsCol"))
-    val m = readManifest()
     val keep = filesInRangeOf(m, lo, hi)
     val rangePred = col(sc) >= lo && col(sc) <= hi
     if (keep.isEmpty) emptyDf(m.tableSchema.getOrElse(emptySchema)).where(rangePred)
@@ -621,6 +624,26 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       require(c == keyCol, s"lookup key column '$c' != table key '$keyCol'")
       lookupPrunedWith(m, keys, col(c).isin(keys: _*))
     }
+
+    /** Stats-pruned range scan IFF it is provably row-exact under
+      * SNAPSHOT semantics: with no outstanding deltas every key exists
+      * exactly once (compaction resolved last-writer-wins), so skipping
+      * an out-of-range file can only skip rows the range predicate
+      * rejects anyway. With live deltas a superseded in-range row could
+      * win over a newer out-of-range version in a skipped file — so the
+      * SQL route ([[graft.plans.GraftBucketPrune]]) falls back to the
+      * full read and None is returned — UNLESS the table was declared
+      * [[appendOnly]] (every key written once, the event-/turn-log
+      * shape): there no row is ever superseded, pruning is exact with
+      * any delta chain, and SQL time-window queries touch only the
+      * intersecting commits' files. The declaration is the caller's
+      * contract, like keyCol correctness.
+      */
+    def rangeScanIfExact(lo: Long, hi: Long): Option[DataFrame] =
+      if (statsCol.isDefined &&
+          (appendOnly || m.deltas.values.forall(_.isEmpty)))
+        Some(readRangeWith(m, lo, hi))
+      else None
   }
 
   /** Pin the current committed snapshot (see [[PinnedView]]). */

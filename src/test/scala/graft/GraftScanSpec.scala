@@ -171,6 +171,59 @@ class GraftScanSpec extends SparkSpec {
          USING (conv_id)""").as[Long].head() === 200L)
   }
 
+  private def mkRangeTable(appendOnly: Boolean): IcebergLikeTable = {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val t = new IcebergLikeTable(tmpDir("graft-scan-rng"), numBuckets = 4,
+      keyCol = "k", statsCol = Some("ts_us"), inlineCompaction = false,
+      maxDeltasPerBucket = 1000, appendOnly = appendOnly,
+      emptySchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "k string, ts_us bigint, v int"))
+    // 4 commits of DISJOINT time quartiles, disjoint keys (append-only
+    // content either way) → per-file stats are tight per commit
+    (0 until 4).foreach { b =>
+      val rows = (0 until 200).map(i => (s"k${b * 200 + i}",
+        (b * 1000 + i * 5).toLong, i))
+      t.merge(rows.toDF("k", "ts_us", "v"), "k", b.toLong)
+    }
+    t
+  }
+
+  test("SQL range over an append-only stats table scans only the " +
+      "intersecting commits' files") {
+    GraftScan.install(spark)
+    val t = mkRangeTable(appendOnly = true)
+    GraftScan.relation(spark, t).createOrReplaceTempView("graft_rng_ao")
+    val q = spark.sql(
+      "SELECT k, v FROM graft_rng_ao WHERE ts_us BETWEEN 1000 AND 1995")
+    val full = scannedFiles(GraftScan.relation(spark, t))
+    val pruned = scannedFiles(q)
+    assert(pruned.nonEmpty && pruned.size < full.size,
+      s"expected range file-skipping: ${pruned.size} of ${full.size}")
+    assert(pruned.toSet.subsetOf(full.toSet))
+    assert(q.count() === 200L)
+    // one-sided bound prunes too
+    val half = spark.sql(
+      "SELECT count(*) FROM graft_rng_ao WHERE ts_us >= 3000").head().getLong(0)
+    assert(half === 200L)
+    assert(scannedFiles(spark.sql(
+      "SELECT k FROM graft_rng_ao WHERE ts_us >= 3000")).size < full.size)
+  }
+
+  test("SQL range over a NON-append-only table with live deltas falls " +
+      "back to the full exact read") {
+    GraftScan.install(spark)
+    val t = mkRangeTable(appendOnly = false)
+    GraftScan.relation(spark, t).createOrReplaceTempView("graft_rng_mut")
+    val q = spark.sql(
+      "SELECT k, v FROM graft_rng_mut WHERE ts_us BETWEEN 1000 AND 1995")
+    // file skipping under last-writer-wins is unprovable with live
+    // deltas: a superseded in-range row could shadow a newer
+    // out-of-range version in a skipped file
+    assert(scannedFiles(q).size ===
+      scannedFiles(GraftScan.relation(spark, t)).size)
+    assert(q.count() === 200L)
+  }
+
   test("pruned and full plans agree for every key (superset guarantee)") {
     GraftScan.install(spark)
     val t = mkTable()
