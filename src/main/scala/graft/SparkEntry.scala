@@ -144,6 +144,8 @@ object SparkEntry {
     // lexical retrieval: sharded inverted index + BM25 ranked top-k
     "inverted_index" -> (RetrievalQueries.invertedIndex _),
     "bm25_topk" -> (RetrievalQueries.bm25TopK _),
+    // unigram-LM quality (CCNet-style perplexity filter)
+    "lm_quality" -> (RetrievalQueries.lmQuality _),
     // training-sample construction over transcripts
     "assemble_convs" -> (TranscriptQueries.assembleConvs _),
     "pair_extract" -> (TranscriptQueries.pairExtract _),
@@ -391,6 +393,7 @@ object SparkEntry {
     "cep_quant" -> CepQueries.cepQuantSql,
     "inverted_index" -> RetrievalQueries.invertedIndexSql,
     "bm25_topk" -> RetrievalQueries.bm25TopKSql,
+    "lm_quality" -> RetrievalQueries.lmQualitySql,
     "assemble_convs" -> TranscriptQueries.assembleConvsSql,
     "pair_extract" -> TranscriptQueries.pairExtractSql,
     "sessionize" -> TranscriptQueries.sessionizeSql,

@@ -113,4 +113,57 @@ object RetrievalQueries {
                 (a, b) -> a + b), 6) AS score
        FROM contrib GROUP BY doc_id
        ORDER BY score DESC, doc_id LIMIT 10"""
+
+  /** Unigram-LM quality score (the CCNet-style perplexity filter, unigram
+    * form): train p(w) = (count(w)+1)/(total+|V|) on the corpus itself
+    * (Laplace smoothing), score each document by its mean negative
+    * log-likelihood — high = unusual/garbled text for this corpus, low =
+    * fluent. At 100 TB: one explode + hash agg builds the LM, the vocab
+    * BROADCASTS, and the one doc-keyed shuffle carries DISTINCT
+    * (doc, term) pairs (tf pre-aggregated map-side), never per-token rows.
+    *
+    * Float discipline: Σ tf·lnp via the order-defined fold over
+    * term-sorted pairs; Σ tf is a sum of integer-valued doubles (exact in
+    * any order); ONE division; round(6) — same contract as [[bm25TopK]].
+    */
+  def lmQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = docWords(s, d).filter(size(col("w")) > 0)
+    val terms = docs.select(col("doc_id"), explode(col("w")).as("term"))
+    val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val stats = vocab.agg(sum(col("c")).as("total"), count(lit(1)).as("v"))
+    val lm = vocab.crossJoin(broadcast(stats))
+      .select(col("term"),
+        log((col("c") + lit(1)).cast("double") /
+          (col("total") + col("v")).cast("double")).as("lnp"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    tf.join(broadcast(lm), "term")
+      .groupBy(col("doc_id"))
+      .agg(
+        round(-aggregate(
+          transform(array_sort(collect_list(
+            struct(col("term"), (col("tf") * col("lnp")).as("x")))),
+            x => x.getField("x")),
+          lit(0.0), (a, x) => a + x) / sum(col("tf")), 6).as("mean_nll"),
+        sum(col("tf")).cast("long").as("n_words"))
+  }
+
+  val lmQualitySql: String =
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '$wordPat') AS w
+                  FROM documents),
+       t AS (SELECT doc_id, unnest(w) AS term FROM d WHERE len(w) > 0),
+       vocab AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+       stats AS (SELECT sum(c) AS total, count(*) AS v FROM vocab),
+       lm AS (SELECT term,
+                     ln(CAST(c + 1 AS DOUBLE) / CAST(total + v AS DOUBLE)) AS lnp
+              FROM vocab, stats),
+       tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+              FROM t GROUP BY 1, 2)
+       SELECT doc_id,
+              round(-list_reduce(list_prepend(0.0,
+                  list(tf * lnp ORDER BY term)), (a, b) -> a + b)
+                / sum(tf), 6) AS mean_nll,
+              CAST(sum(tf) AS BIGINT) AS n_words
+       FROM tf JOIN lm USING (term)
+       GROUP BY doc_id"""
 }
