@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-retrieval surface over the documents table: a sharded inverted
@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   *    are SHARDED by doc_id so a stop-word's postings split across S
   *    rows instead of one unbounded reducer row (the classic "the"
   *    problem) — shard fan-in is a second, cheap agg at query time;
-  *  - BM25 filters to the query's terms BEFORE any aggregation, so the
-  *    shuffled volume is O(matching postings), not O(corpus tokens);
-  *    idf and corpus stats are broadcast (two scalars + one row per
-  *    query term); the final ranking is TakeOrderedAndProject, never a
-  *    global sort.
+  *  - BM25 is ONE tokenized scan: per-doc query-term counts are narrow
+  *    `size(filter(…))` projections, the corpus stats (n, avgdl, every
+  *    term's df) are a single broadcast scalar aggregate, and the score
+  *    is an explicit term-sorted fold — the only shuffle is the stats
+  *    row, the only wide op TakeOrderedAndProject (never a global sort,
+  *    never O(corpus tokens) movement).
   *
   * Float discipline (oracle-exactness): every division appears exactly
   * once per factor with the same nesting as the DuckDB SQL, and the
@@ -62,32 +63,38 @@ object RetrievalQueries {
 
   /** BM25 (k1 = 1.2, b = 0.75) top-10 for a fixed 3-term query. */
   def bm25TopK(s: SparkSession, d: String): DataFrame = {
-    val terms = Seq("window", "shuffle", "join")
+    // SORTED so the explicit score fold matches the oracle's
+    // list(c ORDER BY term); adding an absent term contributes +0.0,
+    // which is an IEEE no-op on the (positive) running sum
+    val terms = Seq("window", "shuffle", "join").sorted
     val k = 10
-    val docs = docWords(s, d)
-    val dl = docs.select(col("doc_id"), size(col("w")).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = docs.select(col("doc_id"), explode(col("w")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
-      .select(col("term"),
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-          .as("idf"))
-    val contrib = tf.join(broadcast(idf), "term").join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("term"),
-        (col("idf") * ((col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl")))))
-          .as("c"))
-    contrib.groupBy(col("doc_id"))
-      .agg(round(aggregate(
-        transform(array_sort(collect_list(struct(col("term"), col("c")))),
-          x => x.getField("c")),
-        lit(0.0), (a, x) => a + x), 6).as("score"))
+    // ONE tokenized scan: per-doc length + per-query-term counts are all
+    // narrow projections (size(filter(w, …)) per term) — the branching
+    // dl/tf/idf formulation re-scanned and re-tokenized the corpus 4×
+    val perDoc = docWords(s, d).select(
+      col("doc_id") +: size(col("w")).as("dl") +:
+        terms.map(t => size(filter(col("w"), x => x === lit(t)))
+          .cast("double").as(s"tf_$t")): _*)
+    // n, avgdl, AND every term's doc frequency in one scalar aggregate
+    val statCols = count(lit(1)).as("n") +:
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    def contrib(t: String): Column = {
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)))
+      when(col(s"tf_$t") > 0,
+        idf * ((col(s"tf_$t") * lit(2.2)) /
+          (col(s"tf_$t") + lit(1.2) *
+            (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl")))))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .select(col("doc_id"),
+        round(terms.foldLeft(lit(0.0))((acc, t) => acc + contrib(t)), 6)
+          .as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
