@@ -141,6 +141,8 @@ object SparkEntry {
     "cep_stream" -> (CepQueries.cepStream _),
     // quantified pattern (A B+ C, maximal middle run)
     "cep_quant" -> (CepQueries.cepQuant _),
+    // the same NFA on transformWithState (RocksDB ListState + timers)
+    "cep_tws" -> (CepQueries.cepTws _),
     // lexical retrieval: sharded inverted index + BM25 ranked top-k
     "inverted_index" -> (RetrievalQueries.invertedIndex _),
     "bm25_topk" -> (RetrievalQueries.bm25TopK _),
@@ -391,6 +393,7 @@ object SparkEntry {
     "cep_funnel" -> CepQueries.cepFunnelSql,
     "cep_stream" -> CepQueries.cepStreamSql, // streaming NFA == batch window form
     "cep_quant" -> CepQueries.cepQuantSql,
+    "cep_tws" -> CepQueries.cepTwsSql, // TWS NFA == fMGWS NFA == batch
     "inverted_index" -> RetrievalQueries.invertedIndexSql,
     "bm25_topk" -> RetrievalQueries.bm25TopKSql,
     "lm_quality" -> RetrievalQueries.lmQualitySql,

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.cep.{Cep, CepEvent, CepStream}
+import graft.cep.{Cep, CepEvent, CepMatch, CepStream}
 
 /** CEP query surface over the events fixture (events-as-user-streams:
   * the same mapping every streaming query here uses). Three rows:
@@ -137,7 +137,14 @@ object CepQueries {
     * never finalizes). Append-mode parquet sink, checkpointed.
     */
   private def runCepPipeline(s: SparkSession, d: String): String =
-    cepCache.getOrElseUpdate((s, d)) {
+    runNfaPipeline(s, d, cepCache) { (events, sp) =>
+      CepStream.matches(events, PatternSteps.size, WithinUs)(sp)
+    }
+
+  private def runNfaPipeline(s: SparkSession, d: String, cache: FixtureCache[String])(
+      nfa: (org.apache.spark.sql.Dataset[CepEvent], SparkSession) =>
+        org.apache.spark.sql.Dataset[CepMatch]): String =
+    cache.getOrElseUpdate((s, d)) {
       locally({
         import s.implicits._
         implicit val sp: SparkSession = s
@@ -165,7 +172,7 @@ object CepQueries {
           .withWatermark("ts", "1 minute")
           .as[CepEvent]
         val outDir = s"$tmp/out"
-        val q = CepStream.matches(events, PatternSteps.size, WithinUs)
+        val q = nfa(events, s)
           .writeStream.outputMode("append")
           .option("checkpointLocation", s"$tmp/ckpt")
           .format("parquet").option("path", outDir)
@@ -175,11 +182,8 @@ object CepQueries {
       })
     }
 
-  /** Streaming strict-pattern matches ≡ the batch window form (same
-    * DuckDB oracle as cep_pattern).
-    */
-  def cepStream(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(runCepPipeline(s, d))
+  private def matchesView(outDir: String, s: SparkSession): DataFrame =
+    s.read.parquet(outDir)
       .filter(col("convId") =!= "-1")
       .select(col("convId").as("conv_id"),
         element_at(col("ids"), 1).as("e1"),
@@ -187,5 +191,28 @@ object CepQueries {
         element_at(col("ids"), 3).as("e3"),
         col("startTsUs").as("t1_us"), col("endTsUs").as("t3_us"))
 
+  /** Streaming strict-pattern matches ≡ the batch window form (same
+    * DuckDB oracle as cep_pattern).
+    */
+  def cepStream(s: SparkSession, d: String): DataFrame =
+    matchesView(runCepPipeline(s, d), s)
+
   val cepStreamSql: String = cepPatternSql
+
+  // ---- the same NFA on transformWithState ------------------------------
+  private val cepTwsCache = new FixtureCache[String]()
+
+  /** The SAME strict pattern through [[graft.cep.CepTws]] — Spark 4's
+    * transformWithState (ListState buffer in RocksDB, registered
+    * event-time timers for idle-key flushes). Sharing cep_pattern's
+    * oracle proves batch ≡ fMGWS ≡ TWS on the same input + watermark.
+    */
+  def cepTws(s: SparkSession, d: String): DataFrame =
+    matchesView(graft.snapshot.SnapshotTws.withRocksDb(s) {
+      runNfaPipeline(s, d, cepTwsCache) { (events, sp) =>
+        graft.cep.CepTws.matches(events, PatternSteps.size, WithinUs)(sp)
+      }
+    }, s)
+
+  val cepTwsSql: String = cepPatternSql
 }

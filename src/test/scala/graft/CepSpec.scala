@@ -164,6 +164,49 @@ class CepSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("transformWithState NFA equals the batch window form (RocksDB)") {
+    // reuse the strict corpus shape; uneven chunks leave pending anchors
+    // whose flush must come from registered event-time timers
+    val cyc = Seq("a", "b", "c", "x", "a", "b", "b", "c", "x", "b")
+    val rows = for {
+      c <- 0 until 4
+      i <- 0 until 40
+    } yield (s"t$c", (c * 1000 + i).toLong, cyc((i + c) % 10),
+      T0 + (i * 2L + c) * H)
+    val df = frame(rows: _*)
+    val within = 8 * H
+    val expect = Cep.matchStrict(df, col("conv"), col("ts"), col("idx"),
+        steps, within)
+      .select(col("key"), col("ids")).as[(String, Seq[Long])].collect().toSet
+    assert(expect.nonEmpty)
+    val mask = steps.zipWithIndex.map { case (st, j) =>
+      when(st.pred, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    implicit val s = spark
+    graft.snapshot.SnapshotTws.withRocksDb(spark) {
+      val input = MemoryStream[(String, Long, String, Long)](spark)
+      val events = input.toDS().toDF("conv", "idx", "typ", "us")
+        .select(col("conv"), col("idx"), col("typ"),
+          timestamp_micros(col("us")).as("ts"))
+        .select(col("conv").as("convId"), col("idx"),
+          unix_micros(col("ts")).as("tsUs"), mask.as("mask"), col("ts"))
+        .withWatermark("ts", "1 minute")
+        .as[CepEvent]
+      val q = graft.cep.CepTws.matches(events, 3, within).writeStream
+        .outputMode("append").format("memory").queryName("ceptws_out").start()
+      rows.sortBy(_._4).grouped(37).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      input.addData(Seq(("zz", 999999L, "x", T0 + 10000 * H)))
+      q.processAllAvailable()
+      q.stop()
+    }
+    val got = spark.table("ceptws_out")
+      .select(col("convId"), col("ids"))
+      .as[(String, Seq[Long])].collect().toSet
+    assert(got === expect)
+  }
+
   // ---- the pure NFA transition ----------------------------------------
 
   private def ev(conv: String, idx: Long, us: Long, mask: Int) =
