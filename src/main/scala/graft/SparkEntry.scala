@@ -143,6 +143,8 @@ object SparkEntry {
     "cep_quant" -> (CepQueries.cepQuant _),
     // the same NFA on transformWithState (RocksDB ListState + timers)
     "cep_tws" -> (CepQueries.cepTws _),
+    // streaming funnel: Update-mode O(k)-state TWS + exactly-once MERGE
+    "cep_funnel_stream" -> (CepQueries.cepFunnelStream _),
     // lexical retrieval: sharded inverted index + BM25 ranked top-k
     "inverted_index" -> (RetrievalQueries.invertedIndex _),
     "bm25_topk" -> (RetrievalQueries.bm25TopK _),
@@ -394,6 +396,7 @@ object SparkEntry {
     "cep_stream" -> CepQueries.cepStreamSql, // streaming NFA == batch window form
     "cep_quant" -> CepQueries.cepQuantSql,
     "cep_tws" -> CepQueries.cepTwsSql, // TWS NFA == fMGWS NFA == batch
+    "cep_funnel_stream" -> CepQueries.cepFunnelStreamSql, // live funnel == batch
     "inverted_index" -> RetrievalQueries.invertedIndexSql,
     "bm25_topk" -> RetrievalQueries.bm25TopKSql,
     "lm_quality" -> RetrievalQueries.lmQualitySql,

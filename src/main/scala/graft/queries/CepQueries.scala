@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.cep.{Cep, CepEvent, CepMatch, CepStream}
+import graft.store.IcebergLikeTable
 
 /** CEP query surface over the events fixture (events-as-user-streams:
   * the same mapping every streaming query here uses). Three rows:
@@ -215,4 +216,81 @@ object CepQueries {
     }, s)
 
   val cepTwsSql: String = cepPatternSql
+
+  // ---- streaming funnel (Update mode, exactly-once MERGE sink) ---------
+  private val funnelCache = new FixtureCache[IcebergLikeTable]()
+
+  private val FunnelSteps = Seq(
+    Cep.Step("signup", col("event_type") === "signup"),
+    Cep.Step("click", col("event_type") === "click"),
+    Cep.Step("purchase", col("event_type") === "purchase"))
+  private val FunnelWithinUs = 3L * 24 * 3600 * 1000000 // 3 days
+
+  /** The conversion funnel made CONTINUOUS ([[graft.cep.FunnelTws]]):
+    * per-key O(pattern) state on transformWithState, Update-mode rows
+    * merged exactly-once into a keyed store — the real-time "where is
+    * every user in the funnel right now" table. Drained over the fixture
+    * it must equal the batch funnel, depth-0 users included (every user
+    * emits a first-seen row).
+    */
+  private def runFunnelPipeline(s: SparkSession, d: String): IcebergLikeTable =
+    funnelCache.getOrElseUpdate((s, d)) {
+      locally({
+        import s.implicits._
+        implicit val sp: SparkSession = s
+        val tmp = Files.createTempDirectory("graft-funnel-q").toString
+        val inDir = s"$tmp/in"
+        val src = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        src.repartitionByRange(4, col("ts")).write.parquet(inDir)
+        val stamped = StreamQueries.stampAscending(inDir)
+        val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
+        StreamQueries.appendSentinelLast(inDir, stamped,
+          Seq((-1L, -1L, "x",
+            new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)))
+            .toDF("user_id", "event_id", "event_type", "ts"))
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id bigint, event_id bigint, event_type string, ts timestamp")
+        val mask = FunnelSteps.zipWithIndex.map { case (st, j) =>
+          when(st.pred, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _)
+        val table = new IcebergLikeTable(s"$tmp/table", 8,
+          emptySchema = org.apache.spark.sql.types.StructType.fromDDL(
+            "conv_id string, t1_us bigint, t2_us bigint, t3_us bigint, depth int"))
+        graft.snapshot.SnapshotTws.withRocksDb(s) {
+          val events = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir)
+            .select(col("user_id").cast("string").as("convId"),
+              col("event_id").as("idx"), unix_micros(col("ts")).as("tsUs"),
+              mask.as("mask"), col("ts"))
+            .withWatermark("ts", "1 minute")
+            .as[CepEvent]
+          val q = graft.cep.FunnelTws
+            .updates(events, FunnelSteps.size, FunnelWithinUs)
+            .select(col("convId").as("conv_id") +:
+              (1 to FunnelSteps.size).map(j =>
+                when(size(col("ts")) >= j, element_at(col("ts"), j))
+                  .as(s"t${j}_us")) :+ col("depth"): _*)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch { (df: DataFrame, id: Long) =>
+              table.merge(df, "conv_id", id); ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        table
+      })
+    }
+
+  /** Final streaming-funnel table ≡ the batch funnel SQL (same oracle as
+    * cep_funnel — depth-0 users included).
+    */
+  def cepFunnelStream(s: SparkSession, d: String): DataFrame =
+    runFunnelPipeline(s, d).read()
+      .filter(col("conv_id") =!= "-1")
+      .select(col("conv_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        col("depth"))
+
+  val cepFunnelStreamSql: String = cepFunnelSql
 }

@@ -207,6 +207,75 @@ class CepSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("FunnelTws.advance: event-time-ordered fold, horizon at t1") {
+    import graft.cep.FunnelTws.advance
+    val within = 4 * H
+    def e(idx: Long, us: Long, m: Int) = ev("A", idx, us, m)
+    // a at t0, b at t0+1h, c at t0+3h → full depth
+    assert(advance(Nil, Seq(e(0, T0, 1), e(1, T0 + H, 2), e(2, T0 + 3 * H, 4)),
+      3, within) === Seq(T0, T0 + H, T0 + 3 * H))
+    // c before b contributes nothing; later c does
+    assert(advance(Nil, Seq(e(0, T0, 1), e(1, T0 + H, 4), e(2, T0 + 2 * H, 2),
+      e(3, T0 + 3 * H, 4)), 3, within) === Seq(T0, T0 + 2 * H, T0 + 3 * H))
+    // step outside the t1 horizon never completes
+    assert(advance(Nil, Seq(e(0, T0, 1), e(1, T0 + H, 2), e(2, T0 + 9 * H, 4)),
+      3, within) === Seq(T0, T0 + H))
+    // resumes from prior state across passes
+    val st1 = advance(Nil, Seq(e(0, T0, 1)), 3, within)
+    assert(advance(st1, Seq(e(1, T0 + H, 2)), 3, within) === Seq(T0, T0 + H))
+  }
+
+  test("streaming funnel equals the batch funnel across shuffled batches") {
+    // intra-batch disorder exercises the buffer+sort: watermark only
+    // advances at batch boundaries, so within a chunk any order is legal
+    val cyc = Seq("a", "x", "b", "c", "b", "a", "c", "x", "b", "c")
+    val rows = for {
+      c <- 0 until 5
+      i <- 0 until 40
+    } yield (s"f$c", (c * 1000 + i).toLong, cyc((i + c) % 10),
+      T0 + (i * 2L + c) * H)
+    val df = frame(rows: _*)
+    val within = 30 * H
+    val expect = Cep.funnel(df, col("conv"), col("ts"), steps, "30 hours")
+      .select(col("key"), col("t1_us"), col("t2_us"), col("t3_us"), col("depth"))
+      .as[(String, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().map(r => r._1 -> r).toMap
+    val mask = steps.zipWithIndex.map { case (st, j) =>
+      when(st.pred, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    implicit val s = spark
+    graft.snapshot.SnapshotTws.withRocksDb(spark) {
+      val input = MemoryStream[(String, Long, String, Long)](spark)
+      val events = input.toDS().toDF("conv", "idx", "typ", "us")
+        .select(col("conv"), col("idx"), col("typ"),
+          timestamp_micros(col("us")).as("ts"))
+        .select(col("conv").as("convId"), col("idx"),
+          unix_micros(col("ts")).as("tsUs"), mask.as("mask"), col("ts"))
+        .withWatermark("ts", "1 minute")
+        .as[CepEvent]
+      val q = graft.cep.FunnelTws.updates(events, 3, within).writeStream
+        .outputMode("update").format("memory").queryName("funnel_out").start()
+      val rnd = new scala.util.Random(7)
+      rows.sortBy(_._4).grouped(43).foreach { b =>
+        input.addData(rnd.shuffle(b)); q.processAllAvailable()
+      }
+      input.addData(Seq(("zz", 999999L, "x", T0 + 100000 * H)))
+      q.processAllAvailable()
+      q.stop()
+    }
+    // depth is monotone per key and rows emit only on change: the
+    // max-depth row is each key's final state
+    val got = spark.table("funnel_out")
+      .as[graft.cep.FunnelRow].collect()
+      .groupBy(_.convId).map { case (k, rs) => k -> rs.maxBy(_.depth) }
+    (0 until 5).map(c => s"f$c").foreach { k =>
+      val (_, e1, e2, e3, d) = expect(k)
+      val g = got(k)
+      assert(g.depth === d, s"key $k depth")
+      assert(g.ts === Seq(e1, e2, e3).flatten, s"key $k times")
+    }
+  }
+
   // ---- the pure NFA transition ----------------------------------------
 
   private def ev(conv: String, idx: Long, us: Long, mask: Int) =
