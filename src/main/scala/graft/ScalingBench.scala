@@ -165,6 +165,38 @@ object ScalingBench {
             graft.cep.Cep.Step("u2", col("role") === "user")),
           withinUs = 6L * 3600 * 1000000))
       }),
+      // Lexical retrieval at transcript scale: every turn a doc, BM25
+      // scored against a 3-term query in the single-scan form (narrow
+      // size(filter(tokens)) projections + one broadcast stats row +
+      // TakeOrderedAndProject) — the retrieval category's scaling row;
+      // the only exchange is the 1-row stats aggregate.
+      "bm25_score" -> (() => best {
+        val terms = Seq("merge", "shuffle", "token").sorted
+        val perDoc = spark.read.parquet(SharedInput)
+          .select(xxhash64(col("conv_id"), col("turn_idx")).as("doc_id"),
+            expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("w"))
+          .select(col("doc_id") +: size(col("w")).as("dl") +:
+            terms.map(t => size(filter(col("w"), x => x === lit(t)))
+              .cast("double").as(s"tf_$t")): _*)
+        val statCols = count(lit(1)).as("n") +:
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+          terms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+        val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+        def contrib(t: String) = {
+          val idf = log(lit(1.0) + (col("n") - col(s"df_$t") + lit(0.5)) /
+            (col(s"df_$t") + lit(0.5)))
+          when(col(s"tf_$t") > 0, idf * ((col(s"tf_$t") * lit(2.2)) /
+            (col(s"tf_$t") + lit(1.2) *
+              (lit(0.25) + (lit(0.75) * col("dl")) / col("avgdl")))))
+            .otherwise(lit(0.0))
+        }
+        noop(perDoc.crossJoin(broadcast(stats))
+          .filter(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+          .select(col("doc_id"),
+            terms.foldLeft(lit(0.0))((a, t) => a + contrib(t)).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(100))
+      }),
       // Range-read A/B: the SAME ts-stats table (24M turns, one row per
       // turn, 4 hash-interleaved commits so neither files nor row groups
       // are time-clustered on arrival), timed on a 5% time-slice
