@@ -1,6 +1,15 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "znapspark"
+// No "[success] Total time" epilogue: graft.Bench's contract is that its
+// compact JSON line is the LAST stdout line (the driver tail-captures
+// ~2000 chars and parses from the end; sbt's success banner after the
+// line broke the r3/r4 handshake).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Stream the forked run's stdout RAW (no "[info] " logger prefix): the
+// driver json-parses graft.Bench's final stdout line verbatim.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

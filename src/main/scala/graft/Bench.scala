@@ -211,9 +211,23 @@ object Bench {
           "full record follows on stderr:")
         System.err.println(fullJson)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec",$extra,""" +
-      s""""sf":"$sfDir","queries":$qs}""")
+    // Compact stdout line, printed LAST with nothing after it: the driver
+    // tail-captures ~2000 chars and parses from the end. The r4 line
+    // carried the FULL 115-query map (~4 KB) so its head was clipped out
+    // of the window — the compact line carries a fixed headline subset
+    // rounded to ms (full map: bench_detail.json) and stays well under
+    // the window. build.sbt sets Global/showSuccess := false so sbt's
+    // "[success] Total time" banner no longer follows it.
+    val headline = Seq("q1_agg", "a1_snapshot_fold", "s1_stream_snapshot",
+      "q1_point_lookup", "j2_join_shuffle", "dedup_minhash", "semantic_dedup",
+      "ann_ivf_trained", "bm25_topk", "heavy_hitters", "cep_stream",
+      "cdc_stream", "topk_per_key_native", "decontam")
+    val bySec = results.map(r => r._1 -> r._2).toMap
+    val headJson = headline.flatMap(n => bySec.get(n).map(v =>
+        "\"" + n + "\":" + f"$v%.3f")).mkString("{", ",", "}")
     rmrf(java.nio.file.Paths.get(turnsDir).getParent.toString)
-    spark.stop()
+    spark.stop() // stop FIRST: a shutdown warning after the line would break the tail parse
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""queries":$headJson,$extra,"sf":"$sfDir"}""")
   }
 }

@@ -153,6 +153,12 @@ object GraftFunctions {
     ZOrderBits(args(0), args(1))
   }
 
+  private[functions] def cmsEstimateBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"cms_estimate takes (sketch, key), got ${args.length} args")
+    CmsEstimate(args(0), args(1))
+  }
+
   /** Make the native functions reachable from SQL text on an existing
     * session: `SELECT cosine_sim(embedding, q_emb)`,
     * `SELECT band_sig(embedding, 4, 4)`,
@@ -164,6 +170,7 @@ object GraftFunctions {
     Shim.registerFunction(spark, "bounded_topk", boundedTopKBuilder)
     Shim.registerFunction(spark, "latest_by", latestByBuilder)
     Shim.registerFunction(spark, "zorder_bits", zorderBitsBuilder)
+    Shim.registerFunction(spark, "cms_estimate", cmsEstimateBuilder)
   }
 }
 
@@ -187,6 +194,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier("latest_by"),
       new ExpressionInfo(classOf[LatestBy].getName, "latest_by"),
       GraftFunctions.latestByBuilder))
+    ext.injectFunction((FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      GraftFunctions.cmsEstimateBuilder))
     // storage-aware point-lookup rewrite for GraftScan leaves (plans/GraftScan.scala)
     ext.injectOptimizerRule(_ => graft.plans.GraftBucketPrune)
   }

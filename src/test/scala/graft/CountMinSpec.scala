@@ -46,6 +46,40 @@ class CountMinSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("native cms_estimate: codegen == interpreted, and never under-counts") {
+    // sketch built OUTSIDE the factory-mode override (the aggregate's
+    // codegen is not under test), then probed under both modes — the
+    // CODEGEN_ONLY leg makes a silent interpreted fallback (the bug class
+    // FunctionRegistrationSpec pins for CosineSim/BandSig) a failure, and
+    // two instances in one projection exercise locals hygiene.
+    val skArr = keys.toDF("k").agg(CountMin.sketch($"k")).as[Seq[Long]].head()
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val key = "spark.sql.codegen.factoryMode"
+    val old = spark.conf.getOption(key)
+    def run(): Map[String, (Long, Long)] =
+      keys.distinct.toDF("k")
+        .crossJoin(broadcast(Seq(Tuple1(skArr)).toDF("sk")))
+        .select($"k",
+          CountMin.estimate($"sk", $"k").as("est"),
+          CountMin.estimate($"sk", concat($"k", lit("@missing"))).as("est2"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val (gen, interp) = try {
+      spark.conf.set(key, "CODEGEN_ONLY")
+      val g = run()
+      spark.conf.set(key, "NO_CODEGEN")
+      (g, run())
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    assert(gen === interp)
+    assert(gen.size === 37)
+    exact.foreach { case (k, n) =>
+      assert(gen(k)._1 >= n, s"$k: cms_estimate under-counted")
+    }
+  }
+
   test("sketch matrix is invariant to input partitioning") {
     val one = keys.toDF("k").repartition(1)
       .agg(CountMin.sketch($"k")).as[Seq[Long]].head()
