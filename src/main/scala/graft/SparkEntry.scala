@@ -498,11 +498,26 @@ object SparkEntry {
     "q2_snapshot_list" -> ("""SELECT snapshot_target FROM (VALUES
        ('customer'),('documents'),('embeddings'),('events'),('lineitem'),
        ('nation'),('orders'),('part'),('region'),('supplier'))
-       AS t(snapshot_target)"""))
-    // rows-only (no SQL-expressible oracle), each justified:
-    //   o1_lineage — per-batch/per-partition stats depend on the runner's
-    //     core count and micro-batch planning, not on table data;
-    //   h1_lag — derived from o1_lineage (same runner dependence).
+       AS t(snapshot_target)"""),
+    // O1/H1: lineage is tracked on a LOGICAL 8-way key shard (stable
+    // across core counts — see MergeSink.lineageOf), folded across
+    // batches to the columns that are pure functions of the data
+    // (StreamQueries.o1Lineage doc), so both rows are fully oracled
+    // since round 5 (they were justified rows-only in r2-r4).
+    "o1_lineage" ->
+      """SELECT CAST(user_id AS BIGINT) % 8 AS partition_id,
+         min(CAST(user_id AS VARCHAR)) AS min_conv_id,
+         max(CAST(user_id AS VARCHAR)) AS max_conv_id,
+         max(epoch_us(ts)) AS last_ts_us
+         FROM events GROUP BY 1""",
+    "h1_lag" ->
+      """WITH s AS (SELECT CAST(user_id AS BIGINT) % 8 AS partition_id,
+                           max(epoch_us(ts)) AS committed_ts_us
+                    FROM events GROUP BY 1)
+         SELECT partition_id, committed_ts_us,
+                ((SELECT max(committed_ts_us) FROM s) - committed_ts_us)
+                  // 1000 AS lag_ms
+         FROM s""")
 
   /** Exact-Jaccard near-dup pairs (the dedup_minhash oracle): identical to
     * ngramJaccardSql's pair set, projected to ids — the Spark side must

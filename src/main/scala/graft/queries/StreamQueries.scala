@@ -90,7 +90,11 @@ object StreamQueries {
         s.streams.addListener(metrics)
         try {
           // wide watermark: file arrival order is not ts order, nothing is late
-          val q = Replay.fromCheckpoint(stream, table, s"$tmp/ckpt", watermark = "3650 days")
+          // lineage on a LOGICAL 8-way key shard (not spark_partition_id):
+          // stable across core counts/replans, so o1/h1 are oracle-able
+          val q = Replay.fromCheckpoint(stream, table, s"$tmp/ckpt",
+            watermark = "3650 days",
+            lineageShard = Some(pmod(col("conv_id").cast("long"), lit(8))))
           runAndStop(q)
           // progress events are delivered ASYNC on the listener bus — drain
           // it before detaching, or the last batch's metrics are lost
@@ -504,14 +508,36 @@ object StreamQueries {
                                    ORDER BY event_id DESC) AS rn
          FROM events) WHERE rn <= 3"""
 
-  /** O1/H1 exhibit: per-batch lineage + lag of the same run (rows-only:
-    * per-batch partition stats depend on the runner's core count).
+  /** O1 exhibit, DuckDB-oracled: the run's committed lineage folded to
+    * per-LOGICAL-shard invariants. Per-batch lineage rows depend on
+    * micro-batch planning (how many batches touch a shard, each batch's
+    * min_turn_idx); the fold below keeps exactly the columns whose
+    * across-batch aggregate is a pure function of the DATA — min/max key
+    * per shard (every key is updated in ≥1 batch, so batch-mins cover the
+    * shard) and the shard's newest committed event time (monotone, so max
+    * = final). The raw per-batch frame stays exposed via
+    * [[graft.store.IcebergLikeTable.lineage]] and is spec-covered
+    * (PipelineOpsSpec), mirroring znap's per-partition offset rows.
     */
   def o1Lineage(s: SparkSession, d: String): DataFrame =
     runPipeline(s, d)._1.lineage()
+      .groupBy(col("partition_id"))
+      .agg(min(col("min_conv_id")).as("min_conv_id"),
+        max(col("max_conv_id")).as("max_conv_id"),
+        unix_micros(max(col("committed_ts"))).as("last_ts_us"))
 
+  /** H1 exhibit, DuckDB-oracled: per-logical-shard lag of the committed
+    * fold behind the newest available turn ([[LagReport]] restated on the
+    * stable shard). rows_committed (batch-count-dependent) stays in
+    * LagReport's full output for the spec; the oracled projection keeps
+    * the runner-independent lag itself. lag_ms is floored integer ms —
+    * double→long truncation == floor here since lag ≥ 0.
+    */
   def h1Lag(s: SparkSession, d: String): DataFrame =
     LagReport(runPipeline(s, d)._1.lineage(), eventsAsTurns(s, d))
+      .select(col("partition_id"),
+        unix_micros(col("committed_ts")).as("committed_ts_us"),
+        col("lag_ms").cast("long").as("lag_ms"))
 
   // ---- bounded-state (TTL) pipeline ----------------------------------
   private val ttlCache = new FixtureCache[IcebergLikeTable]()
@@ -994,11 +1020,19 @@ object StreamQueries {
   def j8StreamFull(s: SparkSession, d: String): DataFrame =
     runOuterInterval(s, d, mode = "full")
 
-  private def runOuterInterval(s: SparkSession, d: String,
-      mode: String): DataFrame = {
+  /** One time-ordered + sentinel-stamped input staging SHARED by the
+    * j5/j7/j8 drains (r4 re-staged the identical input three times —
+    * ~1/3 of the trio's bench wall was parquet writes, not join work).
+    * Staging is immutable once built; each mode still runs its own
+    * streaming query with its own checkpoint, which is the part under
+    * test.
+    */
+  private val outerStageCache = new FixtureCache[String]()
+
+  private def stagedOuterInput(s: SparkSession, d: String): String =
+    outerStageCache.getOrElseUpdate((s, d)) {
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft-ssouter-q").toString
-    val inDir = s"$tmp/in"
+    val inDir = Files.createTempDirectory("graft-ssouter-in").toString + "/in"
     val turns = eventsAsTurns(s, d)
     turns.repartitionByRange(4, col("ts")).write.parquet(inDir)
     val stamped = stampAscending(inDir)
@@ -1023,6 +1057,13 @@ object StreamQueries {
         .filter(_.toString.endsWith(".parquet")).toSet
       finally ls.close()
     }
+    inDir
+  }
+
+  private def runOuterInterval(s: SparkSession, d: String,
+      mode: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-ssouter-q").toString
+    val inDir = stagedOuterInput(s, d)
     def side() = s.readStream.schema(Schemas.turn)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
     val buys = side()

@@ -95,12 +95,18 @@ object Replay {
     * the MergeSink batchId guard makes the overlap batch a no-op —
     * replay-from-offset reproduces byte-identical snapshots.
     */
+  /** `lineageShard`: the partitioning lineage/progress is tracked against
+    * (see [[MergeSink.lineageOf]]) — None = physical spark partition;
+    * production passes a logical key shard so lag dashboards survive a
+    * cluster resize.
+    */
   def fromCheckpoint(turns: Dataset[Turn], table: IcebergLikeTable,
-      checkpointDir: String, watermark: String = "10 minutes"): StreamingQuery =
+      checkpointDir: String, watermark: String = "10 minutes",
+      lineageShard: Option[org.apache.spark.sql.Column] = None): StreamingQuery =
     SnapshotStream.updates(turns, watermark).writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(MergeSink(table) _)
+      .foreachBatch(MergeSink(table, lineageShard = lineageShard) _)
       .start()
 
   /** Snapshot state as of event time `t` (inclusive) — pure batch fold

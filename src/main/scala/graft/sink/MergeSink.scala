@@ -1,6 +1,6 @@
 package graft.sink
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.ConvSnapshot
 import graft.store.IcebergLikeTable
@@ -19,14 +19,24 @@ import graft.store.IcebergLikeTable
   */
 object MergeSink {
 
-  /** Lineage: per input-partition stats of the update batch
+  /** Lineage: per-partition stats of the update batch
     * (znap analogs: offset store DynamoDBOffsetWriter.scala:23-31 +
     * ProgressChecker gauges :148-158). committed_ts comes from batch data
     * (max last_ts), never the wall clock — deterministic in tests.
+    *
+    * `shard` picks the partitioning lineage is tracked against. The
+    * default — the physical spark partition — mirrors znap's per-runner
+    * offsets but is meaningless across cluster sizes; production should
+    * pass a LOGICAL key shard (e.g. `pmod(hash(key), n)`), the analog of
+    * znap's per-Kinesis/Nakadi-partition offset rows: stable across
+    * executor counts, re-plans, and replays, so a lag/progress dashboard
+    * keyed on it survives a cluster resize (and the o1/h1 oracle rows
+    * become runner-independent).
     */
-  def lineageOf(updates: DataFrame, batchId: Long): DataFrame =
+  def lineageOf(updates: DataFrame, batchId: Long,
+      shard: Column = spark_partition_id().cast("long")): DataFrame =
     updates
-      .groupBy(spark_partition_id().as("partition_id"))
+      .groupBy(shard.as("partition_id"))
       .agg(
         min(struct(col("conv_id"), col("last_turn_idx"))).as("mn"),
         max(struct(col("conv_id"), col("last_turn_idx"))).as("mx"),
@@ -78,7 +88,8 @@ object MergeSink {
     *   .start()
     * }}}
     */
-  def apply(table: IcebergLikeTable, publishType: String = "keys")(
+  def apply(table: IcebergLikeTable, publishType: String = "keys",
+      lineageShard: Option[Column] = None)(
       batch: Dataset[ConvSnapshot], batchId: Long): Unit = {
     val df = batch.toDF()
     if (!df.isEmpty) {
@@ -86,8 +97,9 @@ object MergeSink {
       // (merge survivors-join, lineage agg, signals projection).
       df.persist()
       try {
+        val shard = lineageShard.getOrElse(spark_partition_id().cast("long"))
         table.merge(df, "conv_id", batchId,
-          lineageDf = Some(lineageOf(df, batchId)),
+          lineageDf = Some(lineageOf(df, batchId, shard)),
           signalsDf = Some(signalsOf(df, batchId, publishType)))
       } finally df.unpersist()
     }
