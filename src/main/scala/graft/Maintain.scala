@@ -33,14 +33,18 @@ object Maintain {
     implicit val spark: SparkSession =
       (if (sys.props.contains("spark.master")) builder
        else builder.master("local[4]")).getOrCreate()
-    // GRAFT_BLOOM_NDV must match the owning pipeline's keyBloomNdv for
-    // bloom-enabled tables: a rewrite op (compact / rebucket /
-    // purge-deletes) writes files with THIS process's writer config, so
-    // running without it would silently strip the key blooms the lookup
-    // path relies on. (The stats column is manifest-carried; the bloom
-    // choice is writer-side by design, like parquet's own option.)
+    // The table CONTRACT (key column, stats column, bucket count,
+    // append-only flag) comes from the manifest via open() — a rewrite op
+    // (compact / optimize / rebucket / purge-deletes) run with mismatched
+    // defaults would resolve last-writer-wins by the wrong key or strip
+    // per-file range stats; the manifest is the source of truth and the
+    // commit path rejects contradicting writers. GRAFT_BLOOM_NDV must
+    // still match the owning pipeline's keyBloomNdv for bloom-enabled
+    // tables: the bloom choice is writer-side by design (like parquet's
+    // own option), so running a rewrite without it silently strips the
+    // key blooms the lookup path relies on.
     val bloomNdv = sys.env.get("GRAFT_BLOOM_NDV").map(_.toLong)
-    val t = new IcebergLikeTable(root, numBuckets = 8,
+    val t = IcebergLikeTable.open(root,
       inlineCompaction = false, keyBloomNdv = bloomNdv)
     op match {
       case "compact" =>

@@ -70,6 +70,39 @@ object IcebergLikeTable {
     * it never enters the committed table schema.
     */
   val DeleteCol = "__del"
+
+  /** Open an EXISTING table from its committed contract: bucket count,
+    * key column, stats column, and append-only declaration all come from
+    * the manifest (stamped there by every commit), so an out-of-band
+    * process — Maintain's compact / optimize / rebucket / purge-deletes
+    * rewrites, a replica, an ad-hoc reader — cannot accidentally resolve
+    * by the wrong key or strip per-file stats by constructing with
+    * mismatched defaults. Writer-side knobs that are NOT table contract
+    * (compaction policy, bloom sizing) stay parameters. Throws on a
+    * missing/empty manifest: opening a table that was never committed is
+    * a deployment error, not a default-config table.
+    */
+  def open(root: String, inlineCompaction: Boolean = true,
+      keyBloomNdv: Option[Long] = None, autoVacuum: Boolean = true,
+      maxDeltasPerBucket: Int = 8, retainManifests: Int = 2)(
+      implicit spark: SparkSession): IcebergLikeTable = {
+    val probe = new IcebergLikeTable(root, numBuckets = 8)
+    val m = probe.readManifest()
+    require(m.lastBatchId >= 0L,
+      s"IcebergLikeTable.open('$root'): no committed manifest — construct " +
+        "the table explicitly to create it")
+    new IcebergLikeTable(root,
+      numBuckets = m.bucketCount.getOrElse(8),
+      keyCol = m.keyColOpt.getOrElse("conv_id"),
+      maxDeltasPerBucket = maxDeltasPerBucket,
+      autoVacuum = autoVacuum,
+      emptySchema = m.tableSchema.getOrElse(Schemas.snapshot),
+      retainManifests = retainManifests,
+      inlineCompaction = inlineCompaction,
+      statsCol = m.statsColOpt,
+      keyBloomNdv = keyBloomNdv,
+      appendOnly = m.appendOnlyOpt.getOrElse(false))
+  }
 }
 
 final class IcebergLikeTable(val root: String, val numBuckets: Int,
@@ -87,9 +120,13 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
 
   // ---- commit lock ---------------------------------------------------
   /** Exclusive commit lock (O_EXCL file create — atomic on POSIX): held
-    * around every manifest mutation's read-check-rename, so the
-    * optimistic-concurrency check in [[commitAndGc]] is a genuine
-    * compare-and-swap, not detection with a residual window. This is the
+    * around every manifest mutation's read-check-rename. With the
+    * pre-swap fence in [[commitManifest]] this narrows the split-brain
+    * window to the microseconds between a passed ownership re-check and
+    * the rename landing, reachable only after a holder pauses longer
+    * than LockStaleMs (GC/IO stall) AND loses the break race — not a
+    * byte-for-byte CAS, which a plain filesystem cannot express; a real
+    * deployment delegates that final word to its catalog. This is the
     * local analog of the catalog CAS a real deployment delegates to
     * (Iceberg: the catalog's atomic swap; znap: DynamoDB conditional
     * writes, reference persistence/dynamo/DynamoDBEventsWriter.scala:25-53).
@@ -138,9 +175,25 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
             val age = System.currentTimeMillis() -
               Files.getLastModifiedTime(lockPath).toMillis
             if (age > LockStaleMs) {
+              // Token-verified break: between the age check and the
+              // rename, the stale holder can release and a NEW writer
+              // acquire — blind rename-then-delete would destroy the
+              // fresh lock (its innocent commit then aborts at the
+              // fence). Read the stale token first; if the renamed file
+              // carries a DIFFERENT one, we stole a fresh lock — put it
+              // back. (If the restore itself loses a race to a third
+              // writer's CREATE_NEW, the fence still catches it loudly —
+              // the unrepairable case degrades to the old behavior.)
+              val staleTok = new String(Files.readAllBytes(lockPath),
+                java.nio.charset.StandardCharsets.UTF_8)
               val broken = Paths.get(root, s"commit.lock.broken-$token")
               Files.move(lockPath, broken) // atomic: one breaker wins
-              Files.deleteIfExists(broken)
+              val brokenTok = new String(Files.readAllBytes(broken),
+                java.nio.charset.StandardCharsets.UTF_8)
+              if (brokenTok == staleTok) Files.deleteIfExists(broken)
+              else try Files.move(broken, lockPath)
+              catch { case _: java.io.IOException =>
+                Files.deleteIfExists(broken) }
             }
           } catch { case _: java.io.IOException => () } // released / lost the break race
           if (System.currentTimeMillis() > deadline)
@@ -191,6 +244,18 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
   /** `fileStats` maps a live data file to its (min, max) bounds of
     * [[statsCol]] — absent entries mean "unknown, never skip".
     */
+  /** `keyColOpt` / `statsColOpt` / `appendOnlyOpt` persist the table's
+    * CONTRACT (like `bucketCount`): the resolution key, the stats column
+    * files are range-pruned on, and the append-only declaration. Stamped
+    * by [[commitManifest]] from the committing writer's config; read back
+    * by [[IcebergLikeTable.open]] so an out-of-band process (Maintain's
+    * compact / optimize / rebucket / purge-deletes rewrites) resolves by
+    * the RIGHT key and keeps enriching per-file stats — before these were
+    * persisted, a Maintain run against a table keyed on another column
+    * would resolve last-writer-wins by the wrong key (data loss) and
+    * strip every `stat:` entry (silent loss of range pruning). A writer
+    * whose config contradicts the manifest is rejected at commit time.
+    */
   /** `lastDeleteBatch` / `purgedDeletesTo` track whether any live file can
     * carry a delete marker (`lastDeleteBatch > purgedDeletesTo`): while
     * false, reads use the exact pre-delete scan shape — no marker column
@@ -207,7 +272,10 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
       droppedColumns: Seq[String] = Nil,
       fileStats: Map[String, (Long, Long)] = Map.empty,
       lastDeleteBatch: Long = -1L,
-      purgedDeletesTo: Long = -1L) {
+      purgedDeletesTo: Long = -1L,
+      keyColOpt: Option[String] = None,
+      statsColOpt: Option[String] = None,
+      appendOnlyOpt: Option[Boolean] = None) {
     def dataFiles: Seq[String] =
       (buckets.values.flatten ++ deltas.values.flatten).toSeq
     def hasDeletes: Boolean = lastDeleteBatch > purgedDeletesTo
@@ -253,6 +321,9 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     var bucketsOpt: Option[Int] = None
     var lastDel = -1L
     var purgedTo = -1L
+    var keyOpt: Option[String] = None
+    var statsColO: Option[String] = None
+    var appendO: Option[Boolean] = None
     val stats = scala.collection.mutable.Map[String, (Long, Long)]()
     lines.foreach {
       case l if l.startsWith("lastBatchId=") => last = l.substring(12).toLong
@@ -269,6 +340,12 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
         removed = l.substring(8).split(",").filter(_.nonEmpty).toSeq
       case l if l.startsWith("droppedCols=") =>
         dropped = l.substring(12).split(",").filter(_.nonEmpty).toSeq
+      case l if l.startsWith("keyCol=") =>
+        keyOpt = Some(l.substring(7))
+      case l if l.startsWith("statsCol=") =>
+        statsColO = Some(l.substring(9))
+      case l if l.startsWith("appendOnly=") =>
+        appendO = Some(l.substring(11).toBoolean)
       case l if l.startsWith("lastDeleteBatch=") =>
         lastDel = l.substring(16).toLong
       case l if l.startsWith("purgedDeletesTo=") =>
@@ -290,7 +367,8 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     }
     Manifest(last, ListMap(buckets.toSeq.sortBy(_._1): _*),
       ListMap(deltas.toSeq.sortBy(_._1): _*), lineage, signals, removed,
-      schemaOpt, bucketsOpt, dropped, stats.toMap, lastDel, purgedTo)
+      schemaOpt, bucketsOpt, dropped, stats.toMap, lastDel, purgedTo,
+      keyOpt, statsColO, appendO)
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -298,6 +376,9 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     sb.append(s"lastBatchId=${m.lastBatchId}\n")
     m.tableSchema.foreach(s => sb.append(s"schema=${s.json}\n"))
     m.bucketCount.foreach(n => sb.append(s"numBuckets=$n\n"))
+    m.keyColOpt.foreach(k => sb.append(s"keyCol=$k\n"))
+    m.statsColOpt.foreach(c => sb.append(s"statsCol=$c\n"))
+    m.appendOnlyOpt.foreach(a => sb.append(s"appendOnly=$a\n"))
     sb.append(s"lineage=${m.lineageFiles.mkString(",")}\n")
     sb.append(s"signals=${m.signalFiles.mkString(",")}\n")
     sb.append(s"removed=${m.removed.mkString(",")}\n")
@@ -332,6 +413,34 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * legitimately: same logical content, new layout.)
     */
   private[store] def commitManifest(m: Manifest, writeVersioned: Boolean = true): Unit = {
+    // Contract guard + stamp (see Manifest.keyColOpt doc): a writer whose
+    // key / stats config contradicts the committed contract must fail
+    // BEFORE the swap — a wrong-key rewrite resolves last-writer-wins by
+    // the wrong column (data loss); a stats-blind rewrite silently strips
+    // every per-file range stat. appendOnly is sticky-FALSE: a writer not
+    // declaring it demotes the table, so readers stop taking the exact
+    // delta-bearing range path a violating update would have poisoned.
+    val disk = parseManifestIfExists(manifestPath)
+    disk.flatMap(_.keyColOpt).foreach { k =>
+      if (k != keyCol) throw new IllegalStateException(
+        s"table contract: manifest key column '$k' != this writer's " +
+          s"'$keyCol' — open the table via IcebergLikeTable.open(root)")
+    }
+    disk.flatMap(_.statsColOpt).foreach { c =>
+      if (!statsCol.contains(c)) throw new IllegalStateException(
+        s"table contract: manifest statsCol '$c' != this writer's " +
+          s"'${statsCol.getOrElse("<none>")}' — a rewrite would strip " +
+          "per-file range stats; open the table via IcebergLikeTable.open(root)")
+    }
+    val stamped = m.copy(
+      keyColOpt = Some(keyCol),
+      statsColOpt = statsCol.orElse(m.statsColOpt),
+      appendOnlyOpt =
+        Some(appendOnly && disk.flatMap(_.appendOnlyOpt).getOrElse(true)))
+    commitStamped(stamped, writeVersioned)
+  }
+
+  private def commitStamped(m: Manifest, writeVersioned: Boolean): Unit = {
     // Atomic main swap FIRST — it alone gates visibility. The versioned
     // copy (time travel / snapshot history, the Iceberg snapshot-log
     // analog) follows, also via temp + ATOMIC_MOVE: a crash between the
@@ -1110,6 +1219,18 @@ final class IcebergLikeTable(val root: String, val numBuckets: Int,
     * Logical content and lastBatchId are unchanged — same contract as
     * [[compact]], same single-writer atomic commit, CDC `__seq` (and any
     * delete markers) preserved. Cluster columns must be integral.
+    *
+    * CDC-retention hazard (sharper than incremental compaction's): this
+    * folds EVERY delta chain into the new clustered base in one commit
+    * and tombstones every delta-v* file — once they leave the retained
+    * manifests, a [[ChangeStream]]/change-feed consumer checkpointed
+    * before this commit finds its undelivered files GONE (stream failure
+    * or, worse, silently missed changes). Incremental compaction clears
+    * at most one bucket's bounded chain per commit; OPTIMIZE clears the
+    * table's whole replay history at once. Run it only when followers
+    * are caught up, or shield the window with a vacuum grace /
+    * raised `retainManifests` — the same retention contract documented
+    * on [[readChangesSince]] and ChangeStream.
     */
   def optimize(clusterBy: Seq[String]): Boolean = {
     require(clusterBy.nonEmpty && clusterBy.size <= 2,

@@ -88,29 +88,37 @@ class StatsPruneSpec extends SparkSpec {
   }
 
   test("files without stats are never skipped; stats survive compaction") {
-    // a legacy writer (no statsCol) appends a commit: its files carry no
-    // stat entries and must always be scanned
+    // A file can lack a stat entry even under consistent writers (e.g. a
+    // footer unreadable at commit time): absent bounds must read as
+    // "unknown, never skip". Simulate by stripping one delta file's stat
+    // line from the manifest. (A whole stats-BLIND writer is no longer
+    // constructible against this table — the commit-time contract guard
+    // rejects it; see TableMaintenanceSpec.)
     val t = mkLog("statslegacy")
-    val legacy = new IcebergLikeTable(t.root, numBuckets = 2, keyCol = "evt",
-      emptySchema = schema, inlineCompaction = false,
-      maxDeltasPerBucket = 1000)
-    legacy.merge(Seq(("legacy-1", 0L, 9999999L)).toDF("evt", "user_id", "ts_us"),
-      "evt", 4L)
-    // the legacy file is out of [0,100] by VALUE but lacks stats → kept
-    val kept = t.filesInRange(0L, 100L)
-    assert(kept.exists(_.contains("delta-v4")), "stat-less file was skipped")
+    val mPath = java.nio.file.Paths.get(t.root, "manifest.json")
+    val lines = java.nio.file.Files.readString(mPath).split("\n").toSeq
+    // victim: a commit-0 file (bounds inside [0, 999])
+    val victim = lines.find(l => l.startsWith("stat:") &&
+      l.contains("delta-v0")).get
+    val victimFile = victim.substring(5, victim.lastIndexOf('='))
+    java.nio.file.Files.writeString(mPath,
+      lines.filterNot(_ == victim).mkString("\n") + "\n")
+    // range [3000, 3999] excludes the victim's rows by VALUE, but with
+    // its bounds forgotten the file must be KEPT (scanned)
+    val kept = t.filesInRange(3000L, 3999L)
+    assert(kept.contains(victimFile), "stat-less file was skipped")
     // readRange stays row-correct: the value filter still excludes it
-    assert(t.readRange(0L, 100L).as[(String, Long, Long)].collect()
-      .forall(_._3 <= 100L))
-    // compaction rewrites with stats (the new base gets fresh footer bounds)
-    val t2 = new IcebergLikeTable(t.root, numBuckets = 2, keyCol = "evt",
-      emptySchema = schema, inlineCompaction = false, maxDeltasPerBucket = 1,
-      statsCol = Some("ts_us"))
+    assert(t.readRange(3000L, 3999L).as[(String, Long, Long)].collect()
+      .forall(v => v._3 >= 3000L && v._3 <= 3999L))
+    // compaction (through the manifest-restored contract) rewrites with
+    // fresh footer bounds — the stripped entry is re-enriched
+    val t2 = IcebergLikeTable.open(t.root, inlineCompaction = false,
+      maxDeltasPerBucket = 1)
     assert(t2.compact())
     val m2 = t2.readManifest()
     assert(m2.deltas.values.forall(_.isEmpty))
     assert(m2.fileStats.size === m2.dataFiles.size,
       "compacted bases should carry fresh stats")
-    assert(t2.read().count() === 201L)
+    assert(t2.read().count() === 200L)
   }
 }

@@ -232,6 +232,80 @@ class TableMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("table contract (keyCol/statsCol/appendOnly/buckets) persists in the manifest; open() restores it; mismatched writers fail fast") {
+    val root = tmpDir("contract") + "/t"
+    val docs = Seq(("d-1", 10L, "alpha"), ("d-2", 20L, "beta"))
+      .toDF("doc_id", "ts_us", "text")
+    val owner = new IcebergLikeTable(root, numBuckets = 4,
+      keyCol = "doc_id", emptySchema = docs.schema,
+      statsCol = Some("ts_us"), appendOnly = true)
+    assert(owner.merge(docs, "doc_id", 0L))
+
+    // open() reconstructs the committed contract, not the defaults
+    val reopened = IcebergLikeTable.open(root)
+    assert(reopened.keyCol === "doc_id")
+    assert(reopened.statsCol === Some("ts_us"))
+    assert(reopened.appendOnly === true)
+    assert(reopened.currentBuckets() === 4)
+    // and a rewrite through it keeps resolving by the RIGHT key and
+    // keeps enriching per-file stats
+    assert(reopened.merge(Seq(("d-3", 30L, "gamma"))
+      .toDF("doc_id", "ts_us", "text"), "doc_id", 1L))
+    assert(reopened.compact() || true) // may be below the chain threshold
+    assert(reopened.read().count() === 3L)
+    assert(reopened.readManifest().statsColOpt === Some("ts_us"))
+    assert(reopened.readManifest().fileStats.nonEmpty,
+      "per-file range stats must survive a reopened-process rewrite")
+
+    // a maintenance writer constructed with contradicting defaults is
+    // rejected at commit time (before the swap) — the nasty variant is a
+    // DECOY column matching the wrong default key, where resolution
+    // silently succeeds last-writer-wins by the wrong column: exercise
+    // it through a real compaction rewrite
+    val decoy = Seq(("d-4", "c-9", 40L, "delta"), ("d-5", "c-9", 50L, "eps"))
+      .toDF("doc_id", "conv_id", "ts_us", "text")
+    val root2 = tmpDir("contract-decoy") + "/t"
+    val owner2 = new IcebergLikeTable(root2, numBuckets = 2,
+      keyCol = "doc_id", emptySchema = decoy.schema,
+      statsCol = Some("ts_us"), inlineCompaction = false)
+    assert(owner2.merge(decoy, "doc_id", 0L))
+    val wrongKey = new IcebergLikeTable(root2, numBuckets = 2,
+      emptySchema = decoy.schema, statsCol = Some("ts_us"),
+      maxDeltasPerBucket = 1) // keyCol default conv_id — the decoy resolves
+    val e1 = intercept[IllegalStateException] { wrongKey.compact() }
+    assert(e1.getMessage.contains("key column"))
+    val statsBlind = new IcebergLikeTable(root2, numBuckets = 2,
+      keyCol = "doc_id", emptySchema = decoy.schema,
+      maxDeltasPerBucket = 1) // statsCol=None — rewrite would strip stats
+    val e2 = intercept[IllegalStateException] { statsBlind.compact() }
+    assert(e2.getMessage.contains("statsCol"))
+    // the guarded table is untouched: still readable, stats intact
+    assert(IcebergLikeTable.open(root2).read().count() === 2L)
+
+    // open() on a never-committed root is a loud error, not a
+    // default-config table
+    intercept[IllegalArgumentException] {
+      IcebergLikeTable.open(tmpDir("contract-missing") + "/t")
+    }
+  }
+
+  test("appendOnly is sticky-false: a non-declaring writer demotes the table") {
+    val root = tmpDir("sticky") + "/t"
+    val docs = Seq(("d-1", 10L)).toDF("doc_id", "ts_us")
+    val owner = new IcebergLikeTable(root, numBuckets = 2,
+      keyCol = "doc_id", emptySchema = docs.schema, appendOnly = true)
+    assert(owner.merge(docs, "doc_id", 0L))
+    assert(IcebergLikeTable.open(root).appendOnly === true)
+    // an updating (non-append-only) writer may violate the declaration —
+    // the commit clears the flag so readers stop taking the exact
+    // delta-bearing range path
+    val updater = new IcebergLikeTable(root, numBuckets = 2,
+      keyCol = "doc_id", emptySchema = docs.schema) // appendOnly = false
+    assert(updater.merge(Seq(("d-1", 11L)).toDF("doc_id", "ts_us"),
+      "doc_id", 1L))
+    assert(IcebergLikeTable.open(root).appendOnly === false)
+  }
+
   test("gzip codec round-trips arbitrary strings, including empty and unicode") {
     val cases = Seq("", "a", "hello world", "züricher straße 😀",
       "x" * 10000, (0 until 256).map(_.toChar).mkString)
