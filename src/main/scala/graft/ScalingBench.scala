@@ -276,6 +276,18 @@ object ScalingBench {
         noop(graft.dedup.ConnectedComponents.components(edges, "src", "dst",
           verbose = sys.env.contains("SPARK_GRAFT_DEBUG")))
       }),
+      // the sort-free star formulation on the SAME graph (exchange-reuse
+      // + shuffle-hash join instead of window sorts) — the A/B that
+      // decides which shape the engine should prefer at cluster scale
+      "cc_hash" -> (() => best {
+        val nEdges = sys.env.getOrElse("SPARK_GRAFT_CC_EDGES", "8000000").toLong
+        val edges = spark.range(nEdges).select(
+          pmod(xxhash64(col("id")), lit(nEdges / 2)).as("src"),
+          pmod(xxhash64(col("id") + 1234567L), lit(nEdges / 2)).as("dst"))
+        noop(graft.dedup.ConnectedComponents.components(edges, "src", "dst",
+          verbose = sys.env.contains("SPARK_GRAFT_DEBUG"),
+          useHashAgg = true))
+      }),
       // per-key top-k ("latest k turns per conversation"): the bounded-
       // buffer Aggregator vs the row_number window formulation on the
       // same input — quantifies the partial-agg shuffle reduction

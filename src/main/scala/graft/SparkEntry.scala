@@ -297,6 +297,7 @@ object SparkEntry {
       graft.queries.TranscriptQueries.packOver(survivors)
     }),
     "ngram_jaccard" -> (TextQueries.ngramJaccard _),
+    "ngram_jaccard_lsh" -> (TextQueries.ngramJaccardLsh _),
     // MinHash LSH candidates verified by exact Jaccard: the LSH bands
     // generate candidate pairs, the exact shingle-Jaccard filter keeps
     // true near-dups — the standard two-stage dedup pipeline. Oracled
@@ -472,6 +473,7 @@ object SparkEntry {
               AS chunk_id
           FROM surv""",
     "ngram_jaccard" -> TextQueries.ngramJaccardSql,
+    "ngram_jaccard_lsh" -> TextQueries.ngramJaccardLshSql,
     "ann_bruteforce" -> annBruteforceSql,
     "ann_lsh" -> graft.ann.Ann.lshTopKSql(queryId = 0L, k = 10, dim = 64,
       bands = 4, planesPerBand = 4),

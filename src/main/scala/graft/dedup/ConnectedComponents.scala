@@ -84,12 +84,53 @@ object ConnectedComponents {
       .select(col("p.u").as("u"), col("p.v").as("v"))
   }
 
+  /** Hash-aggregate large-star: same output as [[largeStar]], no sort.
+    * m(u) via groupBy(u).min — but over an EXPLICIT repartition(u), so
+    * the aggregate's exchange and the join's are the SAME physical node
+    * (ReusedExchange: the symmetrized edges cross the wire once) and the
+    * min-join is a ShuffledHashJoin on co-partitioned inputs (build side
+    * = one row per node). Rationale: the window form's per-round cost is
+    * a full sort of 2|e| rows per star — a bandwidth-bound chained-sort
+    * pipeline (BENCH.md round-3 cc analysis); this trades the sorts for
+    * one hash-agg + one hash-build of |nodes| rows. (The round-3
+    * "groupBy+self-join 45% slower" finding was the TEXTBOOK form — two
+    * independent exchanges + sort-merge join with two more sorts; the
+    * exchange-reuse + SHJ form measures differently, see BENCH.md r5.)
+    */
+  private[graft] def largeStarHash(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+    sym.join(mins.hint("shuffle_hash"), "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+  }
+
+  /** Hash-aggregate small-star: same output as [[smallStar]] (single
+    * explode emitting both (v,m) and (u,m)), same exchange-reuse + SHJ
+    * shape as [[largeStarHash]].
+    */
+  private def smallStarHash(e: DataFrame): DataFrame = {
+    val part = e.repartition(col("u"))
+    val mins = part.groupBy("u").agg(min(col("v")).as("m"))
+    part.join(mins.hint("shuffle_hash"), "u")
+      .select(explode(when(col("v") =!= col("m"),
+        array(struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u").as("u"), col("m").as("v"))))
+        .otherwise(array(struct(col("u").as("u"), col("m").as("v")))))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+  }
+
   /** Component assignment for every node of the pair list: one row
     * (node, component) per distinct node, component = min node id of its
-    * connected component.
+    * connected component. `useHashAgg` selects the sort-free star
+    * formulation ([[largeStarHash]]) — semantics identical, cost shape
+    * differs (see BENCH.md cc rows for the measured comparison).
     */
   def components(pairs: DataFrame, src: String, dst: String,
-      maxIter: Int = 50, verbose: Boolean = false): DataFrame = {
+      maxIter: Int = 50, verbose: Boolean = false,
+      useHashAgg: Boolean = false): DataFrame = {
     var e = pairs
       .select(greatest(col(src), col(dst)).cast("long").as("u"),
         least(col(src), col(dst)).cast("long").as("v"))
@@ -101,7 +142,8 @@ object ConnectedComponents {
     var converged = e.isEmpty
     while (!converged && it < maxIter) {
       val t0 = System.nanoTime()
-      val next = smallStar(largeStar(e))
+      val next = (if (useHashAgg) smallStarHash(largeStarHash(e))
+        else smallStar(largeStar(e)))
         .dropDuplicates("u", "v").localCheckpoint(true)
       val nsig = fingerprint(next)
       if (verbose) System.err.println(f"[cc] round $it edges=${nsig._1} " +

@@ -155,6 +155,60 @@ object TextQueries {
         col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"))
   }
 
+  /** Unbounded n-gram Jaccard near-dup pairs: pair GENERATION through the
+    * banded MinHash LSH ([[graft.dedup.Dedup.minhashCandidates]] — no id
+    * bound, no all-pairs stage anywhere), exact shingle-Jaccard
+    * VERIFICATION on the candidates only. The oracle is the all-pairs
+    * exact-Jaccard SQL over the FULL table, so the hash compare
+    * machine-checks LSH recall = 1.0 on every fixture, not just
+    * precision. 16 bands of 2 minhash rows: P(miss) at the fixture's
+    * minimum qualifying similarity (J = 0.8) is (1−0.8²)¹⁶ ≈ 1e-7, and
+    * the fixture gap (no pairs with 1/3 ≤ J < 0.8) keeps the threshold
+    * filter decisive. Scale shape: signatures/banding are narrow +
+    * one O(#buckets) shuffle; verification joins the BOUNDED candidate
+    * set against per-doc shingle arrays (two key shuffles of candidate
+    * cardinality, never corpus²).
+    */
+  def ngramJaccardLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cands = graft.dedup.Dedup.minhashCandidates(docs, "doc_id", "text",
+      numHashes = 32, rowsPerBand = 2).select("doc_a", "doc_b")
+    val sh = docs.select(col("doc_id"),
+      array_distinct(shingles(lower(col("text")))).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .filter(col("inter") * 2 >= col("n_a") + col("n_b") - col("inter"))
+  }
+
+  /** ngramJaccardSql with NO id bound — the all-pairs truth the LSH-routed
+    * form must reproduce exactly.
+    */
+  val ngramJaccardLshSql: String =
+    """WITH docs AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         FROM documents),
+       shl AS (
+         SELECT doc_id,
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, len(w) - 2)] AS shs
+         FROM docs WHERE len(w) >= 3),
+       sh AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM shl),
+       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+       FROM pairs
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE inter * 2 >= sa.n_sh + sb.n_sh - inter"""
+
   /** Deterministic stratified sample — balanced per-stratum selection for
     * training-data curation: within each stratum (lang), rank docs by
     * md5(doc_id) (a uniform, engine-reproducible pseudo-random order; a

@@ -53,6 +53,48 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(run(5, Seq.empty) === (0L until 5L).map(i => i -> i).toMap)
   }
 
+  test("hash-agg star formulation ≡ window formulation ≡ union-find") {
+    val rnd = new scala.util.Random(7)
+    val n = 800
+    // mixed shape: random edges + a long path segment (multi-round) so
+    // both formulations exercise several alternating-star rounds
+    val edges = Seq.fill(500)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+      (600 until 780).map(i => (i.toLong, i.toLong + 1))
+    val pairs = edges.toDF("src", "dst")
+    val want = unionFind(n, edges).toSeq
+      .filter { case (k, v) => k != v || edges.exists(e => e._1 == k || e._2 == k) }
+    def asg(useHash: Boolean) =
+      ConnectedComponents.components(pairs, "src", "dst", useHashAgg = useHash)
+        .as[(Long, Long)].collect().toMap
+    val win = asg(useHash = false)
+    val hsh = asg(useHash = true)
+    assert(hsh === win, "formulations disagree")
+    want.foreach { case (k, v) =>
+      if (win.contains(k)) assert(win(k) === v, s"node $k: ${win(k)} != $v")
+    }
+    // the hash form's per-round plan is the intended shape: a
+    // ShuffledHashJoin (no sort-merge), with the symmetrized-edge
+    // exchange REUSED between the aggregate and the join probe
+    val plan = pairs
+      .select(greatest(col("src"), col("dst")).cast("long").as("u"),
+        least(col("src"), col("dst")).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // plan-shape check with AQE off: exchange reuse is applied by the
+    // STATIC ReuseExchange rule there (AQE does the same at runtime via
+    // stage reuse, but only the static form is assertable pre-execution)
+    val phys = {
+      val k = "spark.sql.adaptive.enabled"
+      val old = spark.conf.get(k)
+      spark.conf.set(k, "false")
+      try ConnectedComponents.largeStarHash(plan)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set(k, old)
+    }
+    assert(phys.contains("ShuffledHashJoin"), s"expected SHJ:\n$phys")
+    assert(!phys.contains("SortMergeJoin"), s"unexpected SMJ:\n$phys")
+    assert(phys.contains("ReusedExchange"), s"exchange not reused:\n$phys")
+  }
+
   test("star pairs from a hot LSH bucket recover the full duplicate class") {
     // 300 identical docs blow past maxBucket=50 → the guard emits star
     // pairs only; connectivity through the representative must still put
