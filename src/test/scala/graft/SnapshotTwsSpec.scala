@@ -13,6 +13,50 @@ import graft.store.IcebergLikeTable
   * equivalence (TWS == fMGWS on identical input), since both delegate to
   * SnapshotFold.fold.
   */
+/** Evolution fixtures: the V2 state class adds an Option field — the one
+  * avro-compatible evolution shape (new field, nullable, appended).
+  */
+private[graft] case class EvoStateV1(count: Long)
+private[graft] case class EvoStateV2(count: Long, toolCalls: Option[Long])
+
+private[graft] class EvoProcessorV1
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, Turn, (String, Long, Long)] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[EvoStateV1] = _
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[EvoStateV1]("evo",
+      org.apache.spark.sql.Encoders.product[EvoStateV1],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(convId: String, rows: Iterator[Turn],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, Long, Long)] = {
+    val n = (if (st.exists()) st.get().count else 0L) + rows.size
+    st.update(EvoStateV1(n))
+    Iterator.single((convId, n, -1L))
+  }
+}
+
+private[graft] class EvoProcessorV2
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, Turn, (String, Long, Long)] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[EvoStateV2] = _
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[EvoStateV2]("evo",
+      org.apache.spark.sql.Encoders.product[EvoStateV2],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(convId: String, rows: Iterator[Turn],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, Long, Long)] = {
+    val batch = rows.toSeq
+    val prev = if (st.exists()) st.get() else EvoStateV2(0L, None)
+    val n = prev.count + batch.size
+    val tc = prev.toolCalls.getOrElse(0L) +
+      batch.count(t => t.tool != null && t.tool.nonEmpty)
+    st.update(EvoStateV2(n, Some(tc)))
+    Iterator.single((convId, n, tc))
+  }
+}
+
 class SnapshotTwsSpec extends SparkSpec {
   import spark.implicits._
   implicit val s: org.apache.spark.sql.SparkSession = spark
@@ -75,6 +119,75 @@ class SnapshotTwsSpec extends SparkSpec {
       val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
       assert(tableSnapshots(table) === expected(turns))
     }
+  }
+
+  test("state-schema evolution on resume: avro encoding evolves (old state keeps counting, new field defaults), unsaferow fails loudly") {
+    val turns = allTurns
+    val (first, second) = turns.splitAt(turns.length / 2)
+    // one MemoryStream per scenario, shared across the two incarnations —
+    // its offsets line up with the checkpoint exactly as a durable source's
+    // would; the sink is foreachBatch (checkpoint-recoverable, unlike memory)
+    def run(dir: String, input: MemoryStream[Turn],
+        processor: () => org.apache.spark.sql.streaming
+          .StatefulProcessor[String, Turn, (String, Long, Long)],
+        data: Seq[Turn], encoding: String): Map[String, (Long, Long)] =
+      SnapshotTws.withRocksDb(spark) {
+        val k = "spark.sql.streaming.stateStore.encodingFormat"
+        val old = spark.conf.getOption(k)
+        spark.conf.set(k, encoding)
+        try {
+          implicit val enc: org.apache.spark.sql.Encoder[(String, Long, Long)] =
+            org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.STRING,
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.scalaLong)
+          val out = input.toDS()
+            .groupByKey(_.conv_id)
+            .transformWithState(processor(),
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update(), enc)
+          val got = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+          val q = out.writeStream.outputMode("update")
+            .option("checkpointLocation", s"$dir/ckpt")
+            .foreachBatch { (ds: org.apache.spark.sql.Dataset[(String, Long, Long)],
+                _: Long) => got ++= ds.collect(); () }
+            .start()
+          input.addData(data); q.processAllAvailable(); q.stop()
+          got.groupBy(_._1).map { case (k2, rs) =>
+            k2 -> (rs.map(_._2).max, rs.map(_._3).max) }
+        } finally {
+          old match { case Some(v) => spark.conf.set(k, v)
+            case None => spark.conf.unset(k) }
+        }
+      }
+
+    // ---- avro: resume across a state-class upgrade works ----
+    val avroDir = tmpDir("twsevo-avro")
+    val avroIn = MemoryStream[Turn](spark)
+    run(avroDir, avroIn, () => new EvoProcessorV1, first, "avro")
+    val got = run(avroDir, avroIn, () => new EvoProcessorV2, second, "avro")
+    val expTotal = turns.groupBy(_.conv_id).view.mapValues(_.size.toLong).toMap
+    val expTool = second.groupBy(_.conv_id).view
+      .mapValues(_.count(_.tool.nonEmpty).toLong).toMap
+    got.foreach { case (conv, (total, tool)) =>
+      // counts CONTINUE across the upgrade (old V1 state was readable)
+      assert(total === expTotal(conv), s"$conv total")
+      // the added field defaulted (None -> 0 base), counts only post-upgrade
+      assert(tool === expTool.getOrElse(conv, 0L), s"$conv tool")
+    }
+    assert(got.keySet === second.map(_.conv_id).toSet)
+
+    // ---- unsaferow (default): the same upgrade is a LOUD failure ----
+    val urDir = tmpDir("twsevo-ur")
+    val urIn = MemoryStream[Turn](spark)
+    run(urDir, urIn, () => new EvoProcessorV1, first, "unsaferow")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(urDir, urIn, () => new EvoProcessorV2, second, "unsaferow")
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(8).map(_.toString).mkString("\n")
+    assert(msg.toLowerCase.contains("schema"),
+      s"expected a state-schema incompatibility error, got:\n$msg")
   }
 
   test("TWS equals the fMGWS fold on identical input") {
