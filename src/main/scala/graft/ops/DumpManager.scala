@@ -108,6 +108,11 @@ final class DumpManager {
     val u = uidOfRunner(runner); fail(u); u
   }
 
+  /** Every dump uid ever started, in start order (reference RestApi's
+    * GET /dumps, restapi/RestApi.scala:62-68 → DumpManager.getDumps).
+    */
+  def dumps: Seq[String] = synchronized(statusByUid.keys.toSeq.sorted)
+
   def runningFor(target: String): Option[String] =
     synchronized(runningByTarget.get(target))
   def runningOf(runner: String): Option[String] =

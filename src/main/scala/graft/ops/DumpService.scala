@@ -63,6 +63,35 @@ object DumpService {
     }
   }
 
+  /** Start a dump and return its uid immediately, running the scan on a
+    * daemon thread (the serving facade's POST /snapshots/{t}/dump shape:
+    * 202 Accepted + uid, reference restapi/RestApi.scala:150-186). The
+    * uid/lifecycle allocation is synchronous — conflicts (another dump
+    * running for the target) throw HERE, before any thread starts — and
+    * the job group is set on the runner thread (setJobGroup is
+    * thread-local), so [[abort]] cancels exactly this dump's jobs.
+    */
+  def runAsync(manager: DumpManager, target: String, table: IcebergLikeTable,
+      publish: Iterator[String] => Unit, forceRestart: Boolean = false)(
+      implicit spark: SparkSession): String = {
+    val uid = manager.start(target, forceRestart)
+    val t = new Thread(() => {
+      try {
+        spark.sparkContext.setJobGroup(uid, s"dump $target", interruptOnCancel = true)
+        Replay.dump(table).as(Encoders.STRING).foreachPartition(publish)
+        manager.finish(uid)
+      } catch {
+        case _: Throwable =>
+          if (manager.status(uid) == DumpStatus.Running) manager.fail(uid)
+      } finally {
+        spark.sparkContext.clearJobGroup()
+      }
+    }, s"graft-dump-$uid")
+    t.setDaemon(true)
+    t.start()
+    uid
+  }
+
   /** Abort a running dump: cancel its Spark jobs and flip the state. */
   def abort(manager: DumpManager, uid: String)(implicit spark: SparkSession): Unit = {
     manager.abort(uid)
