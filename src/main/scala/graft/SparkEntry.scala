@@ -104,6 +104,12 @@ object SparkEntry {
     // incremental/CDC read: changed keys at current state, post-v files only
     "cdc_read" -> (StreamQueries.cdcRead _),
     "store_delete" -> (StreamQueries.storeDelete _),
+    // add/drop-column schema evolution: v1 files served null-filled, no rewrite
+    "store_schema_evolve" -> (StreamQueries.storeSchemaEvolve _),
+    // deterministic epoch shuffle: md5-keyed global permutation as (shard, pos)
+    "epoch_shuffle" -> (CurationQueries.epochShuffle _),
+    // temperature source mixing (τ=0.5): md5-bucketed deterministic sampling
+    "mixture_sample" -> (CurationQueries.mixtureSample _),
     // replica built ONLY from the change feed == full snapshot (s1 oracle)
     "cdc_follow" -> (StreamQueries.cdcFollow _),
     // one change feed fanned out to 2 sharded replicas (key-routed MERGEs)
@@ -379,6 +385,9 @@ object SparkEntry {
     "topk_per_key" -> StreamQueries.topkPerKeySql,
     "cdc_read" -> StreamQueries.cdcReadSql,
     "store_delete" -> StreamQueries.storeDeleteSql,
+    "store_schema_evolve" -> StreamQueries.storeSchemaEvolveSql,
+    "epoch_shuffle" -> CurationQueries.epochShuffleSql,
+    "mixture_sample" -> CurationQueries.mixtureSampleSql,
     "cdc_follow" -> StreamQueries.s1StreamSnapshotSql,
     "cdc_stream" -> StreamQueries.s1StreamSnapshotSql, // replica == full snapshot
     "cdc_fanout" -> StreamQueries.cdcFanoutSql,

@@ -345,6 +345,44 @@ object StreamQueries {
               a.turn_count, a.first_ts_us, a.last_ts_us
        FROM a JOIN r ON a.conv_id = r.conv_id AND r.rn = 1"""
 
+  /** Table-schema evolution end-to-end (Iceberg add/drop-column
+    * semantics, the lakehouse feature every long-lived 100 TB table
+    * needs): commit v1 rows with a scaffolding column, DROP it (tombstone
+    * — physical bytes stay until rewrite, reads project it away), then
+    * commit v2 rows carrying a NEW column the v1 files don't have. The
+    * snapshot read must serve the union: evolved column null-filled for
+    * pre-evolution files, dropped column absent, no file rewritten.
+    */
+  private val evolveCache = new FixtureCache[IcebergLikeTable]()
+
+  private def evolveSource(s: SparkSession, d: String): IcebergLikeTable =
+    evolveCache.getOrElseUpdate((s, d)) {
+      locally({
+        implicit val sp: SparkSession = s
+        val ev = Tables.events(s, d).select(
+          col("event_id").cast("string").as("evt_key"),
+          col("event_id"), col("user_id"))
+        val v1 = ev.filter(col("event_id") % 2 === 0)
+          .withColumn("tmp_flag", lit(1))
+        val tmp = Files.createTempDirectory("graft-evolve-q").toString
+        val t = new IcebergLikeTable(s"$tmp/table", 8, keyCol = "evt_key",
+          emptySchema = v1.schema)
+        t.merge(v1, "evt_key", 0L)
+        t.dropColumn("tmp_flag")
+        t.merge(ev.filter(col("event_id") % 2 === 1)
+          .withColumn("score", col("event_id") % 100), "evt_key", 1L)
+        t
+      })
+    }
+
+  def storeSchemaEvolve(s: SparkSession, d: String): DataFrame =
+    evolveSource(s, d).read().select("evt_key", "user_id", "score")
+
+  val storeSchemaEvolveSql: String =
+    """SELECT CAST(event_id AS VARCHAR) AS evt_key, user_id,
+              CASE WHEN event_id % 2 = 1 THEN event_id % 100 END AS score
+       FROM events"""
+
   /** Append-only event-log STORE with per-file ts_us bounds in the
     * manifest (statsCol): 4 commits split by ts quartile, so each delta
     * file carries a tight disjoint time range — the fixture for
