@@ -106,6 +106,8 @@ object SparkEntry {
     "store_delete" -> (StreamQueries.storeDelete _),
     // add/drop-column schema evolution: v1 files served null-filled, no rewrite
     "store_schema_evolve" -> (StreamQueries.storeSchemaEvolve _),
+    // CMS sketch as streaming state (merge across micro-batches) + exact verify
+    "cms_stream_hh" -> (StreamQueries.cmsStreamHh _),
     // deterministic epoch shuffle: md5-keyed global permutation as (shard, pos)
     "epoch_shuffle" -> (CurationQueries.epochShuffle _),
     // temperature source mixing (τ=0.5): md5-bucketed deterministic sampling
@@ -386,6 +388,8 @@ object SparkEntry {
     "cdc_read" -> StreamQueries.cdcReadSql,
     "store_delete" -> StreamQueries.storeDeleteSql,
     "store_schema_evolve" -> StreamQueries.storeSchemaEvolveSql,
+    "cms_stream_hh" -> RelationalQueries.heavyHittersSql, // sketch side streaming, same exact output
+
     "epoch_shuffle" -> CurationQueries.epochShuffleSql,
     "mixture_sample" -> CurationQueries.mixtureSampleSql,
     "cdc_follow" -> StreamQueries.s1StreamSnapshotSql,

@@ -383,6 +383,63 @@ object StreamQueries {
               CASE WHEN event_id % 2 = 1 THEN event_id % 100 END AS score
        FROM events"""
 
+  // ---- streaming Count-Min sketch (global agg state, complete mode) ---
+  private val cmsStreamCache = new FixtureCache[DataFrame]()
+
+  /** The Count-Min sketch maintained AS STREAMING STATE: a global
+    * streaming aggregate over the event stream whose state is the one
+    * 80 KB d×w matrix — per micro-batch Spark folds new rows into
+    * partial sketches map-side and MERGES them into the stored sketch
+    * (the Aggregator's merge is elementwise +, so only sketch matrices
+    * ever cross a batch boundary). Because the merge is associative and
+    * commutative, the drained sketch is ELEMENTWISE IDENTICAL to the
+    * batch-built one (CountMinSpec pins this), so the streaming pipeline
+    * inherits the batch estimator's guarantees — this is the shape a
+    * 10^12-turn deployment uses: bounded O(sketch) state forever, no
+    * per-key state growth.
+    */
+  private def cmsStreamSketch(s: SparkSession, d: String): DataFrame =
+    cmsStreamCache.getOrElseUpdate((s, d)) {
+      locally({
+        val tmp = Files.createTempDirectory("graft-cms-stream").toString
+        val inDir = s"$tmp/in"
+        Tables.events(s, d)
+          .select(concat_ws("#", col("user_id"), col("event_type")).as("k"))
+          .repartition(4).write.parquet(inDir)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL("k string")
+        val name = s"cms_stream_${math.abs(tmp.hashCode)}"
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .agg(graft.functions.CountMin.sketch(col("k")).as("sk"))
+          .writeStream.outputMode("complete")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .format("memory").queryName(name)
+          .start()
+        q.processAllAvailable(); q.stop()
+        val sk = s.table(name).cache()
+        sk.count()
+        sk
+      })
+    }
+
+  /** Heavy hitters with the sketch built by the STREAMING pipeline
+    * ([[cmsStreamSketch]]) instead of a batch aggregate: the drained
+    * sketch broadcast-probes the corpus (native `cms_estimate`
+    * expression) and survivors are exactly verified — identical two-pass
+    * no-false-negative contract as the batch `heavy_hitters` row, same
+    * oracle, but the sketch side is incremental and resumable.
+    */
+  def cmsStreamHh(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.CountMin
+    val T = 15L
+    val ev = Tables.events(s, d)
+      .select(concat_ws("#", col("user_id"), col("event_type")).as("k"))
+    ev.crossJoin(broadcast(cmsStreamSketch(s, d)))
+      .filter(CountMin.estimate(col("sk"), col("k")) >= T)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= T)
+  }
+
   /** Append-only event-log STORE with per-file ts_us bounds in the
     * manifest (statsCol): 4 commits split by ts quartile, so each delta
     * file carries a tight disjoint time range — the fixture for

@@ -30,6 +30,14 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("cms_stream_hh: file-stream-built sketch yields the batch heavy-hitter rows") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = graft.queries.StreamQueries.cmsStreamHh(spark, dir)
+    val batch = graft.queries.RelationalQueries.heavyHitters(spark, dir)
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty,
+      "streaming-sketch heavy hitters must equal the batch two-pass rows")
+  }
+
   test("STREAMING sketch equals the batch matrix (update-mode agg state)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
