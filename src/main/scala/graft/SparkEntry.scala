@@ -108,6 +108,8 @@ object SparkEntry {
     "store_schema_evolve" -> (StreamQueries.storeSchemaEvolve _),
     // CMS sketch as streaming state (merge across micro-batches) + exact verify
     "cms_stream_hh" -> (StreamQueries.cmsStreamHh _),
+    // streaming vector-index maintenance: per-batch IVF assignment, exactly-once MERGE
+    "ann_stream_ingest" -> (StreamQueries.annStreamIngest _),
     // deterministic epoch shuffle: md5-keyed global permutation as (shard, pos)
     "epoch_shuffle" -> (CurationQueries.epochShuffle _),
     // temperature source mixing (τ=0.5): md5-bucketed deterministic sampling
@@ -389,6 +391,7 @@ object SparkEntry {
     "store_delete" -> StreamQueries.storeDeleteSql,
     "store_schema_evolve" -> StreamQueries.storeSchemaEvolveSql,
     "cms_stream_hh" -> RelationalQueries.heavyHittersSql, // sketch side streaming, same exact output
+    "ann_stream_ingest" -> StreamQueries.annStreamIngestSql,
 
     "epoch_shuffle" -> CurationQueries.epochShuffleSql,
     "mixture_sample" -> CurationQueries.mixtureSampleSql,

@@ -926,6 +926,74 @@ object StreamQueries {
   val corpusIngestSql: String =
     "SELECT DISTINCT md5(text) AS digest FROM documents"
 
+  // ---- streaming vector-index ingest (IVF assignment, exactly-once) ---
+  private val annIngestCache = new FixtureCache[IcebergLikeTable]()
+
+  /** Streaming ANN index MAINTENANCE: embeddings arrive as a stream and
+    * each micro-batch is assigned to its IVF cell against the broadcast
+    * centroid set (argmax cosine — [[graft.ann.Ann.assignToCentroids]],
+    * the same narrow map-side reduction the batch index build uses),
+    * then MERGEd exactly-once into the bucketed store with the vector
+    * payload. The index is queryable at every commit and — because
+    * assignment is per-row and the MERGE is idempotent — IDENTICAL to
+    * the batch-built inverted lists, which is what the oracle checks.
+    * At 100 TB this is how a vector index keeps up with a growing
+    * corpus: no rebuild, per-batch cost O(new vectors × C centroids),
+    * store bucketing untouched (a production layout would bucket by
+    * cluster so probes scan nProbe/C of the files).
+    */
+  private def runAnnIngest(s: SparkSession, d: String): IcebergLikeTable =
+    annIngestCache.getOrElseUpdate((s, d)) {
+      locally({
+        implicit val sp: SparkSession = s
+        val tmp = Files.createTempDirectory("graft-annidx-q").toString
+        val inDir = s"$tmp/in"
+        val emb = Tables.embeddings(s, d)
+        emb.repartitionByRange(4, col("vec_id")).write.parquet(inDir)
+        // static coarse centroids (deterministic first-16, the oracle-
+        // reproducible index Ann.ivfTopK uses); a production pipeline
+        // broadcasts KMeans.fit output the same way
+        val cents = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cluster"), col("embedding").as("c_emb"))
+        val stream = s.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+        val table = new IcebergLikeTable(s"$tmp/table", 8, keyCol = "vec_key",
+          emptySchema = org.apache.spark.sql.types.StructType.fromDDL(
+            "vec_key string, vec_id bigint, cluster bigint"))
+        val q = stream.writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val assigned = graft.ann.Ann.assignToCentroids(batch, cents)
+              .select(col("vec_id").cast("string").as("vec_key"),
+                col("vec_id"), col("cluster"), col("embedding"))
+            table.merge(assigned, "vec_key", id)
+            ()
+          }
+          .start()
+        runAndStop(q)
+        table
+      })
+    }
+
+  /** The streamed index's inverted-list assignment, DuckDB-oracled:
+    * streaming ingest ≡ the batch argmax-cosine assignment CTE (same
+    * formulation `ann_ivf`'s oracle uses).
+    */
+  def annStreamIngest(s: SparkSession, d: String): DataFrame =
+    runAnnIngest(s, d).read().select(col("vec_id"), col("cluster"))
+
+  val annStreamIngestSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       c AS (SELECT vec_id AS cluster, emb AS cemb FROM e WHERE vec_id < 16)
+       SELECT vec_id, cluster FROM (
+         SELECT e.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.emb, c.cemb) /
+               (sqrt(list_dot_product(e.emb, e.emb)) *
+                sqrt(list_dot_product(c.cemb, c.cemb))) DESC,
+             c.cluster ASC) AS rn
+         FROM e, c) WHERE rn = 1"""
+
   // ---- J3: stream-stream interval join --------------------------------
   /** Purchase attribution — a real STREAM-STREAM inner join: two
     * independent file-stream sources over the event log, equality on
