@@ -316,6 +316,37 @@ object ScalingBench {
           .filter(col("rn") <= 8)
           .select("conv_id", "turn_idx", "role", "text"))
       }),
+      // deterministic epoch shuffle over the full turn log (per-turn key):
+      // ONE shard exchange + in-shard sort + row_number — the write-shard
+      // layout a trainer streams. md5 keying is the per-row CPU; the sort
+      // is the shuffle-partition-local cost that must scale with cores.
+      "epoch_shuffle" -> (() => best {
+        import org.apache.spark.sql.expressions.Window
+        val keyed = spark.read.parquet(SharedInput)
+          .select(md5(concat_ws("#", col("conv_id"), col("turn_idx"),
+            lit("e1"))).as("ord_key"))
+        val shard = substring(col("ord_key"), 1, 2)
+        noop(keyed.withColumn("shard", shard)
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(shard).orderBy(col("ord_key")))))
+      }),
+      // temperature source mixing over the full turn log ("source" = tool):
+      // tiny broadcast rate table + one codegen'd md5 predicate per row —
+      // the corpus never shuffles, so this should track scan_only.
+      "mixture" -> (() => best {
+        val t = spark.read.parquet(SharedInput)
+        val counts = t.groupBy("tool").agg(count(lit(1)).as("n"))
+        val nMin = counts.agg(min(col("n")).as("n_min"))
+        val rates = counts.crossJoin(broadcast(nMin)).select(col("tool"),
+          floor(lit(4096) * sqrt(col("n_min").cast("double") /
+            col("n").cast("double"))).as("k"))
+        noop(t.join(broadcast(rates), Seq("tool"))
+          .where(col("k") >= 4096 ||
+            substring(md5(concat_ws("#", col("conv_id"), col("turn_idx"),
+              lit("mix"))), 1, 3) <
+              lpad(lower(hex(least(col("k"), lit(4095L)))), 3, "0"))
+          .select(col("conv_id"), col("turn_idx"), col("tool")))
+      }),
       // incremental materialized-view maintenance vs from-scratch
       // recompute: per-TURN base (one row per turn, every row a key),
       // view = the per-CONVERSATION rollup (turns + total text length
