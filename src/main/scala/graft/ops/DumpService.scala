@@ -74,12 +74,23 @@ object DumpService {
   def runAsync(manager: DumpManager, target: String, table: IcebergLikeTable,
       publish: Iterator[String] => Unit, forceRestart: Boolean = false)(
       implicit spark: SparkSession): String = {
+    // force-restart must cancel the SUPERSEDED dump's Spark jobs, not just
+    // flip its registry state (manager.start's internal abort is
+    // registry-only — the old scan would keep publishing)
+    if (forceRestart) manager.runningFor(target).foreach { old =>
+      try abort(manager, old) catch { case _: IllegalDumpTransition => }
+    }
     val uid = manager.start(target, forceRestart)
     val t = new Thread(() => {
       try {
         spark.sparkContext.setJobGroup(uid, s"dump $target", interruptOnCancel = true)
-        Replay.dump(table).as(Encoders.STRING).foreachPartition(publish)
-        manager.finish(uid)
+        // an abort can land before this thread is scheduled —
+        // cancelJobGroup only reaches ACTIVE jobs, so re-check the
+        // registry before submitting the scan
+        if (manager.status(uid) == DumpStatus.Running) {
+          Replay.dump(table).as(Encoders.STRING).foreachPartition(publish)
+          manager.finish(uid)
+        }
       } catch {
         case _: Throwable =>
           if (manager.status(uid) == DumpStatus.Running) manager.fail(uid)

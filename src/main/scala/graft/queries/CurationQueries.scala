@@ -62,14 +62,23 @@ object CurationQueries {
     * (|sources| rows) broadcast onto the corpus — the corpus itself
     * never shuffles; the filter is one codegen'd predicate per row.
     */
-  def mixtureSample(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def mixtureSample(s: SparkSession, d: String): DataFrame =
+    mixtureSampleOver(Tables.documents(s, d))
+
+  /** [[mixtureSample]] over an arbitrary (doc_id, source) frame. The
+    * keep-bucket count is floored at 1: without it, a source more than
+    * 4096² ≈ 16.8M× larger than the rarest quantizes to k = 0 and the
+    * DOMINANT source vanishes from the mixture — at extreme skew the
+    * floor deviates from the pure n^τ law (keeps 1/4096 instead of ~0)
+    * but never silently deletes a source.
+    */
+  def mixtureSampleOver(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
     val nMin = counts.agg(min(col("n")).as("n_min"))
     val rates = counts.crossJoin(broadcast(nMin)).select(
       col("source"),
-      floor(lit(4096) * sqrt(col("n_min").cast("double") /
-        col("n").cast("double"))).as("k"))
+      greatest(lit(1L), floor(lit(4096) * sqrt(col("n_min").cast("double") /
+        col("n").cast("double")))).as("k"))
     docs.join(broadcast(rates), Seq("source"))
       .where(col("k") >= 4096 ||
         substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 3) <
@@ -81,7 +90,7 @@ object CurationQueries {
     """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
        m AS (SELECT min(n) AS n_min FROM c),
        r AS (SELECT source,
-               floor(4096 * sqrt(CAST(m.n_min AS DOUBLE) / CAST(c.n AS DOUBLE))) AS k
+               greatest(1, floor(4096 * sqrt(CAST(m.n_min AS DOUBLE) / CAST(c.n AS DOUBLE)))) AS k
              FROM c, m)
        SELECT d.doc_id, d.source
        FROM documents d JOIN r ON d.source = r.source

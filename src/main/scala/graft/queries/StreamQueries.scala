@@ -384,7 +384,8 @@ object StreamQueries {
        FROM events"""
 
   // ---- streaming Count-Min sketch (global agg state, complete mode) ---
-  private val cmsStreamCache = new FixtureCache[DataFrame]()
+  private val cmsStreamCache =
+    new FixtureCache[DataFrame](onEvict = df => { df.unpersist(); () })
 
   /** The Count-Min sketch maintained AS STREAMING STATE: a global
     * streaming aggregate over the event stream whose state is the one
@@ -415,7 +416,7 @@ object StreamQueries {
           .option("checkpointLocation", s"$tmp/ckpt")
           .format("memory").queryName(name)
           .start()
-        q.processAllAvailable(); q.stop()
+        try q.processAllAvailable() finally q.stop() // a failed drain must not leave a zombie query
         val sk = s.table(name).cache()
         sk.count()
         sk

@@ -1,7 +1,6 @@
 package graft.serve
 
 import java.net.InetSocketAddress
-import java.net.URLDecoder
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.Executors
 
@@ -62,8 +61,9 @@ final class ServeApi(targets: Map[String, ServeApi.Target], port: Int = 0)(
 
   private def route(ex: HttpExchange): Unit = {
     try {
-      val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
-        .map(URLDecoder.decode(_, StandardCharsets.UTF_8)).toList
+      // getPath is already percent-decoded by URI parsing — decoding again
+      // would corrupt keys ('+' → space, literal '%' → 500)
+      val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
       (ex.getRequestMethod, segs) match {
         case ("GET", List("health", "ping")) =>
           respond(ex, 200, "ok", "text/plain")
