@@ -201,4 +201,24 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("epoch_shuffle plans exactly one exchange (the shard write's own)") {
+    val p = planOf(CurationQueries.epochShuffle(spark, dir))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected exactly 1 shuffle, plan:\n$p")
+    // column pruning: only doc_id leaves the scan
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && !read.contains("text"),
+      s"scan not pruned: $read")
+  }
+
+  test("mixture_sample never shuffles the corpus (broadcast rate table only)") {
+    val p = planOf(CurationQueries.mixtureSample(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$p")
+    // the only hash exchanges allowed are under the tiny counts aggregate —
+    // the corpus side joins via broadcast, so no exchange may carry text
+    val corpusShuffled = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("doc_id"))
+    assert(!corpusShuffled, s"corpus rows crossed an exchange:\n$p")
+  }
 }
