@@ -173,12 +173,14 @@ object CepQueries {
           .withWatermark("ts", "1 minute")
           .as[CepEvent]
         val outDir = s"$tmp/out"
-        val q = nfa(events, s)
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .format("parquet").option("path", outDir)
-          .start()
-        try q.processAllAvailable() finally q.stop()
+        StreamQueries.withStreamParallelism(s, inDir) {
+          val q = nfa(events, s)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .format("parquet").option("path", outDir)
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
         outDir
       })
     }
@@ -258,26 +260,28 @@ object CepQueries {
           emptySchema = org.apache.spark.sql.types.StructType.fromDDL(
             "conv_id string, t1_us bigint, t2_us bigint, t3_us bigint, depth int"))
         graft.snapshot.SnapshotTws.withRocksDb(s) {
-          val events = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1").parquet(inDir)
-            .select(col("user_id").cast("string").as("convId"),
-              col("event_id").as("idx"), unix_micros(col("ts")).as("tsUs"),
-              mask.as("mask"), col("ts"))
-            .withWatermark("ts", "1 minute")
-            .as[CepEvent]
-          val q = graft.cep.FunnelTws
-            .updates(events, FunnelSteps.size, FunnelWithinUs)
-            .select(col("convId").as("conv_id") +:
-              (1 to FunnelSteps.size).map(j =>
-                when(size(col("ts")) >= j, element_at(col("ts"), j))
-                  .as(s"t${j}_us")) :+ col("depth"): _*)
-            .writeStream.outputMode("update")
-            .option("checkpointLocation", s"$tmp/ckpt")
-            .foreachBatch { (df: DataFrame, id: Long) =>
-              table.merge(df, "conv_id", id); ()
-            }
-            .start()
-          try q.processAllAvailable() finally q.stop()
+          StreamQueries.withStreamParallelism(s, inDir) {
+            val events = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(inDir)
+              .select(col("user_id").cast("string").as("convId"),
+                col("event_id").as("idx"), unix_micros(col("ts")).as("tsUs"),
+                mask.as("mask"), col("ts"))
+              .withWatermark("ts", "1 minute")
+              .as[CepEvent]
+            val q = graft.cep.FunnelTws
+              .updates(events, FunnelSteps.size, FunnelWithinUs)
+              .select(col("convId").as("conv_id") +:
+                (1 to FunnelSteps.size).map(j =>
+                  when(size(col("ts")) >= j, element_at(col("ts"), j))
+                    .as(s"t${j}_us")) :+ col("depth"): _*)
+              .writeStream.outputMode("update")
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .foreachBatch { (df: DataFrame, id: Long) =>
+                table.merge(df, "conv_id", id); ()
+              }
+              .start()
+            try q.processAllAvailable() finally q.stop()
+          }
         }
         table
       })

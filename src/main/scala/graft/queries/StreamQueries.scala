@@ -49,6 +49,49 @@ object StreamQueries {
   private def runAndStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try q.processAllAvailable() finally q.stop()
 
+  /** Total regular-file bytes under `dir` (the staged stream input). */
+  private def dirBytes(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!Files.exists(p)) 0L
+    else {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size(_).longValue).sum
+      finally walk.close()
+    }
+  }
+
+  /** Run `body` (a streaming-query start + drain) with
+    * `spark.sql.shuffle.partitions` DERIVED FROM THE STAGED INPUT SIZE
+    * (optimization guide §2: make partitioning scale-adaptive — derive it
+    * from data volume — rather than a constant tuned for either local
+    * mode or the cluster). The shuffle-partition count is what a stateful
+    * streaming query locks in as its state-store partition count, and
+    * every micro-batch commits (numPartitions × stores-per-operator)
+    * state stores plus that many shuffle/sink tasks — at the fixtures'
+    * few-MB scale the session default (= core count) buys no parallelism
+    * and multiplies pure per-batch commit overhead; at 100 TB the same
+    * bytes-per-partition rule yields thousands of partitions. Target:
+    * ~32 MB of input per state partition, floor 4 (cross-partition state
+    * semantics stay exercised), cap 65536.
+    *
+    * Results are unaffected: state partitioning changes WHERE keys live,
+    * never fold/join/window semantics (lineage is tracked on a logical
+    * key shard precisely so o1/h1 stay partitioning-independent).
+    * The conf is restored after the drain; StreamExecution clones the
+    * session at start(), so the value is pinned per query.
+    */
+  private[queries] def withStreamParallelism[A](s: SparkSession,
+      stagedDir: String)(body: => A): A = {
+    val targetBytes = 32L << 20
+    val n = math.min(65536L,
+      math.max(4L, (dirBytes(stagedDir) + targetBytes - 1) / targetBytes))
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   /** The s1 oracle's 6-column contract — every query that hash-compares a
     * snapshot against the s1 SQL projects through HERE, so the contract
     * lives in one place.
@@ -88,7 +131,7 @@ object StreamQueries {
           keyBloomNdv = Some(4096L))
         val metrics = new MetricsListener
         s.streams.addListener(metrics)
-        try {
+        try withStreamParallelism(s, inDir) {
           // wide watermark: file arrival order is not ts order, nothing is late
           // lineage on a LOGICAL 8-way key shard (not spark_partition_id):
           // stable across core counts/replans, so o1/h1 are oracle-able
@@ -134,13 +177,15 @@ object StreamQueries {
           val stream = s.readStream.schema(Schemas.turn)
             .option("maxFilesPerTrigger", "1").parquet(inDir).as[Turn]
           val table = new IcebergLikeTable(s"$tmp/table", 8)
-          val q = graft.snapshot.SnapshotTws.updates(stream, watermark = "3650 days")
-            .writeStream
-            .outputMode("update")
-            .option("checkpointLocation", s"$tmp/ckpt")
-            .foreachBatch(graft.sink.MergeSink(table) _)
-            .start()
-          runAndStop(q)
+          withStreamParallelism(s, inDir) {
+            val q = graft.snapshot.SnapshotTws.updates(stream, watermark = "3650 days")
+              .writeStream
+              .outputMode("update")
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .foreachBatch(graft.sink.MergeSink(table) _)
+              .start()
+            runAndStop(q)
+          }
           table
         }
       })
@@ -293,8 +338,10 @@ object StreamQueries {
     implicit val sp: SparkSession = s
     val (src, tmp) = cdcSource(s, d)
     val dst = new IcebergLikeTable(s"$tmp/dst_stream", 8)
-    val q = graft.replay.ChangeStream.replicate(src, dst, s"$tmp/ckpt_stream")
-    q.awaitTermination(600000)
+    withStreamParallelism(s, s"$tmp/table") {
+      val q = graft.replay.ChangeStream.replicate(src, dst, s"$tmp/ckpt_stream")
+      q.awaitTermination(600000)
+    }
     snapshotOracleView(dst.read())
   }
 
@@ -409,14 +456,16 @@ object StreamQueries {
           .repartition(4).write.parquet(inDir)
         val schema = org.apache.spark.sql.types.StructType.fromDDL("k string")
         val name = s"cms_stream_${math.abs(tmp.hashCode)}"
-        val q = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
-          .agg(graft.functions.CountMin.sketch(col("k")).as("sk"))
-          .writeStream.outputMode("complete")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .format("memory").queryName(name)
-          .start()
-        try q.processAllAvailable() finally q.stop() // a failed drain must not leave a zombie query
+        withStreamParallelism(s, inDir) {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir)
+            .agg(graft.functions.CountMin.sketch(col("k")).as("sk"))
+            .writeStream.outputMode("complete")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .format("memory").queryName(name)
+            .start()
+          try q.processAllAvailable() finally q.stop() // a failed drain must not leave a zombie query
+        }
         val sk = s.table(name).cache()
         sk.count()
         sk
@@ -657,13 +706,15 @@ object StreamQueries {
           .option("maxFilesPerTrigger", "1").parquet(inDir).as[Turn]
         val table = new IcebergLikeTable(s"$tmp/table", 8,
           keyCol = "row_key", emptySchema = Schemas.snapshotGen)
-        val q = graft.snapshot.SnapshotTtl
-          .updates(stream, watermark = "1 hour", ttlMs = 24L * 3600 * 1000)
-          .writeStream.outputMode("update")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .foreachBatch(graft.snapshot.SnapshotTtl.sink(table) _)
-          .start()
-        runAndStop(q)
+        withStreamParallelism(s, inDir) {
+          val q = graft.snapshot.SnapshotTtl
+            .updates(stream, watermark = "1 hour", ttlMs = 24L * 3600 * 1000)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch(graft.snapshot.SnapshotTtl.sink(table) _)
+            .start()
+          runAndStop(q)
+        }
         table
       })
     }
@@ -748,18 +799,20 @@ object StreamQueries {
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val outDir = s"$tmp/out"
-        val q = stream.withWatermark("ts", "1 minute")
-          .groupBy(window(col("ts"), "5 minutes"))
-          .agg(count(lit(1)).as("n_events"),
-            sum(col("value").cast("decimal(18,2)")).as("value_sum_dec"))
-          .select(unix_seconds(col("window.start")).as("window_start_s"),
-            col("n_events"),
-            col("value_sum_dec").cast("double").as("value_sum"))
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .format("parquet").option("path", outDir)
-          .start()
-        runAndStop(q)
+        withStreamParallelism(s, inDir) {
+          val q = stream.withWatermark("ts", "1 minute")
+            .groupBy(window(col("ts"), "5 minutes"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast("decimal(18,2)")).as("value_sum_dec"))
+            .select(unix_seconds(col("window.start")).as("window_start_s"),
+              col("n_events"),
+              col("value_sum_dec").cast("double").as("value_sum"))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .format("parquet").option("path", outDir)
+            .start()
+          runAndStop(q)
+        }
         outDir
       })
     }
@@ -804,16 +857,18 @@ object StreamQueries {
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val outDir = s"$tmp/out"
-        val q = stream.withWatermark("ts", "1 minute")
-          .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
-          .agg(count(lit(1)).as("n_events"))
-          .select(unix_seconds(col("window.start")).as("window_start_s"),
-            col("n_events"))
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .format("parquet").option("path", outDir)
-          .start()
-        runAndStop(q)
+        withStreamParallelism(s, inDir) {
+          val q = stream.withWatermark("ts", "1 minute")
+            .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(unix_seconds(col("window.start")).as("window_start_s"),
+              col("n_events"))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .format("parquet").option("path", outDir)
+            .start()
+          runAndStop(q)
+        }
         outDir
       })
     }
@@ -855,18 +910,20 @@ object StreamQueries {
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
         val outDir = s"$tmp/out"
-        val q = stream.withWatermark("ts", "1 minute")
-          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("n_events"))
-          .select(col("user_id"),
-            unix_micros(col("session_window.start")).as("session_start_us"),
-            unix_micros(col("session_window.end")).as("session_end_us"),
-            col("n_events"))
-          .writeStream.outputMode("append")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .format("parquet").option("path", outDir)
-          .start()
-        runAndStop(q)
+        withStreamParallelism(s, inDir) {
+          val q = stream.withWatermark("ts", "1 minute")
+            .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"))
+            .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("session_start_us"),
+              unix_micros(col("session_window.end")).as("session_end_us"),
+              col("n_events"))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .format("parquet").option("path", outDir)
+            .start()
+          runAndStop(q)
+        }
         outDir
       })
     }
@@ -904,16 +961,18 @@ object StreamQueries {
         val table = new IcebergLikeTable(s"$tmp/table", 8, keyCol = "digest",
           emptySchema = org.apache.spark.sql.types.StructType.fromDDL(
             "digest string, doc_id bigint"))
-        val q = stream.writeStream
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            val deduped = batch.withColumn("digest", md5(col("text")))
-              .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
-            table.merge(deduped, "digest", id)
-            ()
-          }
-          .start()
-        runAndStop(q)
+        withStreamParallelism(s, inDir) {
+          val q = stream.writeStream
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              val deduped = batch.withColumn("digest", md5(col("text")))
+                .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+              table.merge(deduped, "digest", id)
+              ()
+            }
+            .start()
+          runAndStop(q)
+        }
         table
       })
     }
@@ -961,17 +1020,19 @@ object StreamQueries {
         val table = new IcebergLikeTable(s"$tmp/table", 8, keyCol = "vec_key",
           emptySchema = org.apache.spark.sql.types.StructType.fromDDL(
             "vec_key string, vec_id bigint, cluster bigint"))
-        val q = stream.writeStream
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .foreachBatch { (batch: DataFrame, id: Long) =>
-            val assigned = graft.ann.Ann.assignToCentroids(batch, cents)
-              .select(col("vec_id").cast("string").as("vec_key"),
-                col("vec_id"), col("cluster"), col("embedding"))
-            table.merge(assigned, "vec_key", id)
-            ()
-          }
-          .start()
-        runAndStop(q)
+        withStreamParallelism(s, inDir) {
+          val q = stream.writeStream
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              val assigned = graft.ann.Ann.assignToCentroids(batch, cents)
+                .select(col("vec_id").cast("string").as("vec_key"),
+                  col("vec_id"), col("cluster"), col("embedding"))
+              table.merge(assigned, "vec_key", id)
+              ()
+            }
+            .start()
+          runAndStop(q)
+        }
         table
       })
     }
@@ -1029,11 +1090,13 @@ object StreamQueries {
         col("src_idx").cast("long").as("src_idx"), col("src_role"),
         unix_micros(col("buy_ts")).as("buy_ts_us"),
         unix_micros(col("src_ts")).as("src_ts_us"))
-    val q = joined.writeStream.outputMode("append")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .format("parquet").option("path", s"$tmp/out")
-      .start()
-    runAndStop(q)
+    withStreamParallelism(s, inDir) {
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .format("parquet").option("path", s"$tmp/out")
+        .start()
+      runAndStop(q)
+    }
     s.read.schema(joined.schema).parquet(s"$tmp/out")
   }
 
@@ -1066,20 +1129,22 @@ object StreamQueries {
         val (src, tmp) = cdcSource(s, d)
         val shards = Seq(0, 1).map(i =>
           i -> new IcebergLikeTable(s"$tmp/shard$i/table", 8))
-        val q = graft.replay.ChangeStream.changes(src).writeStream
-          .option("checkpointLocation", s"$tmp/ckpt_fanout")
-          .foreachBatch { (df: DataFrame, batchId: Long) =>
-            // resolve once per batch, route each key to exactly one shard
-            val up = graft.replay.ChangeStream.resolved(df, src.keyCol)
-            up.persist()
-            try shards.foreach { case (i, t) =>
-              val part = up.filter(col(t.keyCol).cast("long") % 2 === i)
-              if (!part.isEmpty) { t.merge(part, t.keyCol, batchId); () }
-            } finally { up.unpersist(); () }
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination(600000)
+        withStreamParallelism(s, s"$tmp/table") {
+          val q = graft.replay.ChangeStream.changes(src).writeStream
+            .option("checkpointLocation", s"$tmp/ckpt_fanout")
+            .foreachBatch { (df: DataFrame, batchId: Long) =>
+              // resolve once per batch, route each key to exactly one shard
+              val up = graft.replay.ChangeStream.resolved(df, src.keyCol)
+              up.persist()
+              try shards.foreach { case (i, t) =>
+                val part = up.filter(col(t.keyCol).cast("long") % 2 === i)
+                if (!part.isEmpty) { t.merge(part, t.keyCol, batchId); () }
+              } finally { up.unpersist(); () }
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(600000)
+        }
         shards
       })
     }
@@ -1128,11 +1193,13 @@ object StreamQueries {
     val joined = stream.join(broadcast(dim), col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("c_name"),
         col("c_mktsegment"), col("value"))
-    val q = joined.writeStream.outputMode("append")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .format("parquet").option("path", s"$tmp/out")
-      .start()
-    runAndStop(q)
+    withStreamParallelism(s, inDir) {
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .format("parquet").option("path", s"$tmp/out")
+        .start()
+      runAndStop(q)
+    }
     s.read.schema(joined.schema).parquet(s"$tmp/out")
   }
 
@@ -1261,11 +1328,13 @@ object StreamQueries {
           unix_micros(col("buy_ts")).as("buy_ts_us"),
           unix_micros(col("src_ts")).as("src_ts_us"))
     }
-    val q = joined.writeStream.outputMode("append")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .format("parquet").option("path", s"$tmp/out")
-      .start()
-    runAndStop(q)
+    withStreamParallelism(s, inDir) {
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .format("parquet").option("path", s"$tmp/out")
+        .start()
+      runAndStop(q)
+    }
     s.read.schema(joined.schema).parquet(s"$tmp/out")
       .filter(col("conv_id") =!= "-1") // sentinel rows (either side)
   }
@@ -1339,11 +1408,13 @@ object StreamQueries {
       "left_semi")
       .select(col("conv_id"), col("buy_idx").cast("long").as("buy_idx"),
         unix_micros(col("buy_ts")).as("buy_ts_us"))
-    val q = joined.writeStream.outputMode("append")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .format("parquet").option("path", s"$tmp/out")
-      .start()
-    runAndStop(q)
+    withStreamParallelism(s, inDir) {
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .format("parquet").option("path", s"$tmp/out")
+        .start()
+      runAndStop(q)
+    }
     s.read.schema(joined.schema).parquet(s"$tmp/out")
   }
 
@@ -1383,11 +1454,13 @@ object StreamQueries {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type").as("role"),
         unix_micros(col("ts")).as("ts_us"))
-    val q = out.writeStream.outputMode("append")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .format("parquet").option("path", s"$tmp/out")
-      .start()
-    runAndStop(q)
+    withStreamParallelism(s, inDir) {
+      val q = out.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .format("parquet").option("path", s"$tmp/out")
+        .start()
+      runAndStop(q)
+    }
     s.read.schema(out.schema).parquet(s"$tmp/out")
   }
 
@@ -1414,9 +1487,11 @@ object StreamQueries {
         val replica = new IcebergLikeTable(s"$tmp/mv_replica", 8)
         val mv = new IcebergLikeTable(s"$tmp/mv", 4, keyCol = "last_role",
           emptySchema = graft.pipeline.MaterializedAgg.viewSchema("last_role", sums))
-        val q = graft.pipeline.MaterializedAgg.maintain(
-          src, replica, mv, "last_role", sums, s"$tmp/ckpt_mv")
-        q.awaitTermination(600000)
+        withStreamParallelism(s, s"$tmp/table") {
+          val q = graft.pipeline.MaterializedAgg.maintain(
+            src, replica, mv, "last_role", sums, s"$tmp/ckpt_mv")
+          q.awaitTermination(600000)
+        }
         mv
       })
     }
@@ -1457,7 +1532,9 @@ object StreamQueries {
           Fanout.Target(name, col("role").isin(roles: _*),
             new IcebergLikeTable(s"$tmp/$name/table", 8), s"$tmp/$name/ckpt")
         }
-        Fanout.runAll(stream, targets, watermark = "3650 days")
+        withStreamParallelism(s, inDir) {
+          Fanout.runAll(stream, targets, watermark = "3650 days")
+        }
         fanoutTargets.map(_._1).zip(targets.map(_.table))
       })
     }
