@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Schemas, Turn}
+import graft.queries.{Tables, TextQueries}
+
+/** Extra, non-contract benchmarks (guide §1.4: noop-sink isolation of the
+  * expensive queries' sub-stages). NOT part of the driver handshake —
+  * `graft.Bench` is the frozen measurement surface; this main exists so
+  * OPTIMIZATION_r06.md can cite stage-level numbers (signature pass vs
+  * candidate join vs verify join; stream fold vs MERGE sink) without
+  * touching the contract. Usage:
+  *   SPARK_GRAFT_SF_DIR=... sbt -batch "runMain graft.BenchExtra [names...]"
+  * Prints one "name seconds" line per measurement.
+  */
+object BenchExtra {
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, sfDir)
+
+    val measurements: Seq[(String, () => Unit)] = Seq(
+      // --- ngram_jaccard_lsh decomposition ------------------------------
+      "tok_explode" -> (() => noop(
+        docs.select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+            .as("tok")))),
+      "sig_explode" -> (() => noop(
+        docs.select(col("doc_id"),
+          explode(graft.dedup.Dedup.shingleArr(col("text"))).as("sh")))),
+      "sig_hash" -> (() => noop(
+        docs.select(col("doc_id"),
+          explode(graft.dedup.Dedup.shingleArr(col("text"))).as("sh"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("hb")))),
+      "sig_agg1" -> (() => noop(
+        docs.select(col("doc_id"),
+          explode(graft.dedup.Dedup.shingleArr(col("text"))).as("sh"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("hb"))
+          .groupBy(col("doc_id")).agg(min(xxhash64(lit(0L), col("hb")))))),
+      "lsh_signatures" -> (() => noop(
+        graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", 32))),
+      "lsh_candidates" -> (() => noop(
+        graft.dedup.Dedup.minhashCandidates(docs, "doc_id", "text",
+          numHashes = 32, rowsPerBand = 2))),
+      "lsh_full" -> (() => noop(TextQueries.ngramJaccardLsh(spark, sfDir))),
+      "jaccard300" -> (() => noop(TextQueries.ngramJaccard(spark, sfDir))),
+      // --- dedup_simhash decomposition ----------------------------------
+      "simhash_sig" -> (() => noop(
+        graft.dedup.Dedup.simhashMd5(docs, "doc_id", "text"))),
+      "simhash_full" -> (() => noop(
+        graft.dedup.Dedup.simhashCandidatesOracle(docs, "doc_id", "text"))),
+      // --- snapshot pipeline: fold-only vs fold+MERGE -------------------
+      "pipe_fold_noop" -> (() => {
+        import spark.implicits._
+        val tmp = Files.createTempDirectory("graft-bx-fold").toString
+        val inDir = s"$tmp/in"
+        graft.queries.StreamQueries.eventsAsTurns(spark, sfDir)
+          .repartitionByRange(4, col("ts")).write.parquet(inDir)
+        graft.queries.StreamQueries.withStreamParallelism(spark, inDir) {
+          val stream = spark.readStream.schema(Schemas.turn)
+            .option("maxFilesPerTrigger", "1").parquet(inDir).as[Turn]
+          val q = graft.snapshot.SnapshotStream.updates(stream, "3650 days")
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.model.ConvSnapshot], _: Long) =>
+              df.write.mode("overwrite").format("noop").save()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        Bench.rmrf(tmp)
+      }),
+      "pipe_fold_merge" -> (() => {
+        import spark.implicits._
+        implicit val sp: SparkSession = spark
+        val tmp = Files.createTempDirectory("graft-bx-merge").toString
+        val inDir = s"$tmp/in"
+        graft.queries.StreamQueries.eventsAsTurns(spark, sfDir)
+          .repartitionByRange(4, col("ts")).write.parquet(inDir)
+        graft.queries.StreamQueries.withStreamParallelism(spark, inDir) {
+          val stream = spark.readStream.schema(Schemas.turn)
+            .option("maxFilesPerTrigger", "1").parquet(inDir).as[Turn]
+          val table = new graft.store.IcebergLikeTable(s"$tmp/table", 8,
+            keyBloomNdv = Some(4096L))
+          val q = graft.replay.Replay.fromCheckpoint(stream, table, s"$tmp/ckpt",
+            watermark = "3650 days",
+            lineageShard = Some(pmod(col("conv_id").cast("long"), lit(8))))
+          try q.processAllAvailable() finally q.stop()
+        }
+        Bench.rmrf(tmp)
+      }))
+
+    val only = args.toSet
+    // SPARK_GRAFT_REPS reps in one JVM: rep 0 absorbs JVM/codegen warmup,
+    // the LAST rep is the comparable number (guide §1 — measure warm)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    (1 to reps).foreach { r =>
+      measurements.filter(m => only.isEmpty || only.contains(m._1)).foreach {
+        case (name, body) =>
+          spark.sparkContext.setJobDescription(s"bench-extra: $name")
+          val (_, secs) = Bench.time(body())
+          println(f"[$r] $name%-18s $secs%8.3f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -26,15 +26,13 @@ object Dedup {
 
   private val wordPat = "[a-z0-9]+"
 
-  /** 3-word shingle array (distinct) of a text column. */
+  /** 3-word shingle array (distinct) of a text column — native
+    * [[graft.functions.Shingles]] k-gram expression (the HOF transform
+    * form it replaces was interpreted per element; see Shingles doc).
+    */
   def shingleArr(textCol: Column): Column = {
     val w = regexp_extract_all(lower(textCol), lit(wordPat), lit(0))
-    array_distinct(
-      when(size(w) >= 3,
-        transform(sequence(lit(0), size(w) - 3), i =>
-          concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2),
-            element_at(w, i + 3))))
-        .otherwise(array().cast("array<string>")))
+    array_distinct(graft.functions.Shingles.word_shingles(w, 3))
   }
 
   /** MinHash signatures: shingles are exploded once, then ONE hash-agg per
@@ -47,10 +45,18 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int): DataFrame = {
+    // The shingle STRING is hashed once; the k salted hash functions are
+    // long-only remixes of that 64-bit base (xxhash64(salt, base) — the
+    // same one-base-hash + k-functions family construction Spark's
+    // MinHashLSH uses). The earlier form hashed the full string k times
+    // (k × ~30-byte hashes per shingle row): at sf0.1 the signature pass
+    // alone was ~80% of ngram_jaccard_lsh's wall (BenchExtra
+    // lsh_signatures) — guide §1.2 step 2, per-task work.
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(shingleArr(col(textCol))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("hb"))
     val aggs = (0 until numHashes).map { i =>
-      min(xxhash64(concat(lit(i.toString), col("sh")))).as(s"h$i")
+      min(xxhash64(lit(i.toLong), col("hb"))).as(s"h$i")
     }
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
@@ -113,10 +119,11 @@ object Dedup {
     val nBands = numHashes / rowsPerBand
     minhashSignatures(docs, idCol, textCol, numHashes)
       .select(col("doc_id"), col("sig"),
+        // bucket = hash of the band's signature slice DIRECTLY (xxhash64
+        // over array<bigint>) — the earlier form stringified each slice
+        // and hashed the joined text, allocating nBands strings per doc
         posexplode(array((0 until nBands).map(b =>
-          xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-              .cast("array<string>")))): _*))
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
           .as(Seq("band", "bucket")))
   }
 
@@ -205,9 +212,15 @@ object Dedup {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(regexp_extract_all(lower(col(textCol)), lit(wordPat), lit(0)))
         .as("tok"))
-    val chars = toks.select(col("doc_id") +: (0 until 15).map(k =>
-      conv(substring(md5(col("tok").cast("binary")), k + 1, 1), 16, 10)
-        .cast("int").as(s"c$k")): _*)
+    // nibble k = hex digit k of md5, decoded by integer ascii arithmetic
+    // ('0'-'9' → 0-9, 'a'-'f' → 10-15; Spark md5 emits lowercase hex).
+    // The earlier conv(substr, 16, 10).cast("int") form ran the full
+    // radix-conversion string machinery 15× per token row — same values,
+    // pure codegen int ops now (guide §1.2 per-task work).
+    val chars = toks.select(col("doc_id") +: (0 until 15).map { k =>
+      val a = ascii(substring(md5(col("tok").cast("binary")), k + 1, 1))
+      when(a <= 57, a - 48).otherwise(a - 87).as(s"c$k")
+    }: _*)
     val votes = (0 until 60).map { b =>
       sum(when(shiftright(col(s"c${b / 4}"), b % 4).bitwiseAND(lit(1)) === 1, 1L)
         .otherwise(-1L)).as(s"v$b")

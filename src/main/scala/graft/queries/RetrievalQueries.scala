@@ -69,11 +69,15 @@ object RetrievalQueries {
     val terms = Seq("window", "shuffle", "join").sorted
     val k = 10
     // ONE tokenized scan: per-doc length + per-query-term counts are all
-    // narrow projections (size(filter(w, …)) per term) — the branching
-    // dl/tf/idf formulation re-scanned and re-tokenized the corpus 4×
+    // narrow projections — the branching dl/tf/idf formulation re-scanned
+    // and re-tokenized the corpus 4×. tf = size(w) − size(array_remove(w,
+    // t)): same count as the earlier size(filter(w, x === t)), but
+    // array_remove is a codegen'd collection expression where the filter
+    // HOF evaluated its lambda INTERPRETED once per token (guide §1.2
+    // per-task work; same fix class as functions/Shingles).
     val perDoc = docWords(s, d).select(
       col("doc_id") +: size(col("w")).as("dl") +:
-        terms.map(t => size(filter(col("w"), x => x === lit(t)))
+        terms.map(t => (size(col("w")) - size(array_remove(col("w"), t)))
           .cast("double").as(s"tf_$t")): _*)
     // n, avgdl, AND every term's doc frequency in one scalar aggregate
     val statCols = count(lit(1)).as("n") +:

@@ -356,23 +356,25 @@ object TextQueries {
          END AS rep_ratio
        FROM documents d LEFT JOIN agg a USING (doc_id)"""
 
-  /** 3-word shingles of a tokenized column, as an array column. */
+  /** 3-word shingles of a tokenized column, as an array column (native
+    * k-gram expression — the interpreted HOF transform cost ~26 µs per
+    * shingle; see [[graft.functions.Shingles]]).
+    */
   private def shingles(textCol: org.apache.spark.sql.Column) = {
     val w = regexp_extract_all(textCol, lit(wordPat), lit(0))
-    when(size(w) >= 3,
-      transform(sequence(lit(0), size(w) - 3), i =>
-        concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.Shingles.word_shingles(w, 3)
   }
 
   /** Shingle → duplicate-shingle hits: (doc_id, pos) of every k-token
     * shingle that also occurs in at least one OTHER document. The
     * duplicate test is `min(doc_id) < max(doc_id)` per shingle — exact
     * for "≥2 distinct docs" with a plain partial-agg'd hash aggregate,
-    * no count-distinct expansion. `hashKeys=true` (the at-scale form)
-    * shuffles 8-byte xxhash64 keys instead of the shingle strings; the
-    * oracle runs the engine-neutral string form and DupSpanSpec pins
-    * both forms identical.
+    * no count-distinct expansion. `hashKeys=true` — now the DEFAULT the
+    * declared rows ship (guide §2.3 shuffle fewer bytes: the output
+    * carries no shingle text, so hashing the key column is invisible to
+    * the result) — shuffles 8-byte xxhash64 keys instead of the shingle
+    * strings; the oracle recomputes from the string form and DupSpanSpec
+    * pins both forms identical.
     */
   private def tokenized(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -380,13 +382,13 @@ object TextQueries {
 
   private def shingleHits(docs: DataFrame, k: Int,
       hashKeys: Boolean): DataFrame = {
+    // posexplode of the native k-gram array: pos is 0-based, the span
+    // algebra below is 1-based (slice() convention), hence the +1
     val sh = docs.filter(size(col("w")) >= k)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("w")) - (k - 1)),
-        i => struct(i.cast("long").as("pos"),
-          array_join(slice(col("w"), i, lit(k)), " ").as("sh")))).as("e"))
-      .select(col("doc_id"), col("e.pos").as("pos"),
-        (if (hashKeys) xxhash64(col("e.sh")) else col("e.sh")).as("sh"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.Shingles.word_shingles(col("w"), k)).as(Seq("p", "shs")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"),
+        (if (hashKeys) xxhash64(col("shs")) else col("shs")).as("sh"))
     val dup = sh.groupBy(col("sh"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") < col("mx")).select("sh")
@@ -409,7 +411,7 @@ object TextQueries {
     * min<max test is cross-doc, matching the dedup use case).
     */
   def dupSpans(s: SparkSession, d: String,
-      hashKeys: Boolean = false): DataFrame =
+      hashKeys: Boolean = true): DataFrame =
     dupSpansOver(Tables.documents(s, d), 8, hashKeys)
 
   /** [[dupSpans]] over any (doc_id, text) frame — the composable form. */
@@ -479,7 +481,7 @@ object TextQueries {
 
   /** [[stripSpans]] over any (doc_id, text) frame. */
   def stripSpansOver(rawDocs: DataFrame, k: Int = 8,
-      hashKeys: Boolean = false): DataFrame = {
+      hashKeys: Boolean = true): DataFrame = {
     val docs = tokenized(rawDocs)
     val spans = dupSpansOver(rawDocs, k, hashKeys).groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
@@ -542,9 +544,8 @@ object TextQueries {
       (substring(md5(col("text").cast("binary")), 1, benchNibbles)
         === "0" * benchNibbles).as("is_bench"))
     def sh(df: DataFrame) = df.filter(size(col("w")) >= k)
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(1), size(col("w")) - (k - 1)),
-        i => array_join(slice(col("w"), i, lit(k)), " ")))).as("sh"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.Shingles.word_shingles(col("w"), k))).as("sh"))
     val bench = sh(docs.filter(col("is_bench"))).select("sh").distinct()
     val hits = sh(docs.filter(!col("is_bench")))
       .join(broadcast(bench), Seq("sh"), "left_semi")
