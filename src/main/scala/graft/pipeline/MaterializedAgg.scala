@@ -74,8 +74,10 @@ object MaterializedAgg {
       mv: IcebergLikeTable, groupCol: String, sums: Seq[(String, String)],
       df: DataFrame, batchId: Long): Unit = {
     val up = ChangeStream.resolved(df, src.keyCol)
-    if (up.isEmpty) return
+    // persist before the emptiness probe (MergeSink.apply): the probe
+    // otherwise re-runs the change-resolution plan it then recomputes
     up.persist()
+    if (up.isEmpty) { up.unpersist(); return }
     val deltas = {
       // pre-image rows of the touched keys, read from the not-yet-merged
       // replica with bucket pruning: only the files of the buckets the

@@ -129,6 +129,32 @@ object CepQueries {
 
   // ---- streaming NFA ---------------------------------------------------
   private val cepCache = new FixtureCache[String]()
+  private val cepStageCache = new FixtureCache[String]()
+
+  /** ONE staged, time-ordered event stream + far-future sentinel shared
+    * by the NFA and funnel drains (was two identical stagings + two
+    * max(ts) scans per session+dir). The sentinel's event_type 'x'
+    * matches NO pattern step in either consumer (mask 0) — it exists
+    * purely to advance the watermark past every real anchor's horizon;
+    * its dummy group (-1) is dropped on result read.
+    */
+  private def stagedCepEvents(s: SparkSession, d: String): String =
+    cepStageCache.getOrElseUpdate((s, d)) {
+      locally({
+        import s.implicits._
+        val inDir = Files.createTempDirectory("graft-cep-in").toString + "/in"
+        val src = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        src.repartitionByRange(4, col("ts")).write.parquet(inDir)
+        val stamped = StreamQueries.stampAscending(inDir)
+        val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
+        StreamQueries.appendSentinelLast(inDir, stamped,
+          Seq((-1L, -1L, "x",
+            new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)))
+            .toDF("user_id", "event_id", "event_type", "ts"))
+        inDir
+      })
+    }
 
   /** The strict pattern through the streaming NFA: time-ordered
     * micro-batches (range-partitioned files, ascending mtimes), 1-minute
@@ -150,16 +176,7 @@ object CepQueries {
         import s.implicits._
         implicit val sp: SparkSession = s
         val tmp = Files.createTempDirectory("graft-cep-q").toString
-        val inDir = s"$tmp/in"
-        val src = Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-        src.repartitionByRange(4, col("ts")).write.parquet(inDir)
-        val stamped = StreamQueries.stampAscending(inDir)
-        val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
-        StreamQueries.appendSentinelLast(inDir, stamped,
-          Seq((-1L, -1L, "view",
-            new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)))
-            .toDF("user_id", "event_id", "event_type", "ts"))
+        val inDir = stagedCepEvents(s, d)
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "user_id bigint, event_id bigint, event_type string, ts timestamp")
         val mask = PatternSteps.zipWithIndex.map { case (st, j) =>
@@ -241,16 +258,7 @@ object CepQueries {
         import s.implicits._
         implicit val sp: SparkSession = s
         val tmp = Files.createTempDirectory("graft-funnel-q").toString
-        val inDir = s"$tmp/in"
-        val src = Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-        src.repartitionByRange(4, col("ts")).write.parquet(inDir)
-        val stamped = StreamQueries.stampAscending(inDir)
-        val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
-        StreamQueries.appendSentinelLast(inDir, stamped,
-          Seq((-1L, -1L, "x",
-            new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)))
-            .toDF("user_id", "event_id", "event_type", "ts"))
+        val inDir = stagedCepEvents(s, d)
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "user_id bigint, event_id bigint, event_type string, ts timestamp")
         val mask = FunnelSteps.zipWithIndex.map { case (st, j) =>

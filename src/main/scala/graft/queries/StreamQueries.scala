@@ -33,7 +33,7 @@ object StreamQueries {
     * 2^31 — a global-int64 id source must be re-indexed per conversation
     * before this mapping, or the cast truncates.
     */
-  private[queries] def eventsAsTurns(s: SparkSession, d: String): DataFrame =
+  private[graft] def eventsAsTurns(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("user_id").cast("string").as("conv_id"),
       col("event_id").cast("int").as("turn_idx"),
@@ -81,7 +81,7 @@ object StreamQueries {
     * The conf is restored after the drain; StreamExecution clones the
     * session at start(), so the value is pinned per query.
     */
-  private[queries] def withStreamParallelism[A](s: SparkSession,
+  private[graft] def withStreamParallelism[A](s: SparkSession,
       stagedDir: String)(body: => A): A = {
     val targetBytes = 32L << 20
     val n = math.min(65536L,
@@ -108,6 +108,28 @@ object StreamQueries {
     new FixtureCache[(IcebergLikeTable, MetricsListener)]()
   private val fanoutCache =
     new FixtureCache[Seq[(String, IcebergLikeTable)]]()
+  private val turnsByTsCache = new FixtureCache[String]()
+
+  /** ONE time-ordered staged copy of the turns, shared by every drain
+    * that streams `eventsAsTurns` range-partitioned by ts with no
+    * appended sentinel rows (the s1 fMGWS/TWS/TTL pipelines, the j3/j6
+    * interval joins, the g1 fan-out): r5 wrote the identical 4-file
+    * staging SIX times per session+dir — pure duplicated parquet writes
+    * (guide §1.2: don't compute things you throw away). Files are
+    * mtime-stamped ascending so arrival order = time order — REQUIRED by
+    * the TTL pipeline, and result-invariant for the wide-watermark
+    * consumers (their folds/joins are arrival-order-independent, which
+    * is exactly what their oracles prove). Staging is immutable once
+    * built; every consumer still runs its own streaming query,
+    * checkpoint, and sink — the part under test.
+    */
+  private def stagedTurnsByTs(s: SparkSession, d: String): String =
+    turnsByTsCache.getOrElseUpdate((s, d)) {
+      val inDir = Files.createTempDirectory("graft-turns-ts").toString + "/in"
+      eventsAsTurns(s, d).repartitionByRange(4, col("ts")).write.parquet(inDir)
+      stampAscending(inDir)
+      inDir
+    }
 
   /** Runs (once per session+dir) the pipeline into a fresh temp table with
     * a MetricsListener attached — O2 in-flight metrics observed on every
@@ -119,10 +141,9 @@ object StreamQueries {
         import s.implicits._
         implicit val sp: SparkSession = s
         val tmp = Files.createTempDirectory("graft-stream-q").toString
-        val inDir = s"$tmp/in"
         // 4 range-partitioned files + maxFilesPerTrigger=1 → 4 micro-batches,
         // exercising cross-batch state carry (znap's multi-batch ingest).
-        eventsAsTurns(s, d).repartitionByRange(4, col("ts")).write.parquet(inDir)
+        val inDir = stagedTurnsByTs(s, d)
         val stream = s.readStream.schema(Schemas.turn)
           .option("maxFilesPerTrigger", "1").parquet(inDir).as[Turn]
         // key blooms on: the oracled q1_sql_lookup / s1 snapshot reads
@@ -172,8 +193,7 @@ object StreamQueries {
         implicit val sp: SparkSession = s
         graft.snapshot.SnapshotTws.withRocksDb(s) {
           val tmp = Files.createTempDirectory("graft-tws-q").toString
-          val inDir = s"$tmp/in"
-          eventsAsTurns(s, d).repartitionByRange(4, col("ts")).write.parquet(inDir)
+          val inDir = stagedTurnsByTs(s, d)
           val stream = s.readStream.schema(Schemas.turn)
             .option("maxFilesPerTrigger", "1").parquet(inDir).as[Turn]
           val table = new IcebergLikeTable(s"$tmp/table", 8)
@@ -699,9 +719,8 @@ object StreamQueries {
         import s.implicits._
         implicit val sp: SparkSession = s
         val tmp = Files.createTempDirectory("graft-ttl-q").toString
-        val inDir = s"$tmp/in"
-        eventsAsTurns(s, d).repartitionByRange(4, col("ts")).write.parquet(inDir)
-        stampAscending(inDir) // arrival order = time order (see helper doc)
+        // shared staging is already mtime-stamped: arrival order = time order
+        val inDir = stagedTurnsByTs(s, d)
         val stream = s.readStream.schema(Schemas.turn)
           .option("maxFilesPerTrigger", "1").parquet(inDir).as[Turn]
         val table = new IcebergLikeTable(s"$tmp/table", 8,
@@ -769,6 +788,34 @@ object StreamQueries {
 
   // ---- streaming windowed aggregation (append mode, watermark-closed) --
   private val windowCache = new FixtureCache[String]()
+  private val windowStageCache = new FixtureCache[String]()
+
+  /** ONE staged (user_id, ts, value) event stream shared by the three
+    * windowed drains (tumbling / sliding / session): r5 staged three
+    * per-projection copies of the same table plus three max(ts) scans
+    * and three sentinel appends. Each drain projects the columns it
+    * needs via its readStream schema (parquet column pruning); the ONE
+    * far-future sentinel row (user_id −1, value 0.0) advances every
+    * drain's watermark past all real windows while its own
+    * window/session never closes — exactly the per-drain sentinels it
+    * replaces.
+    */
+  private def stagedEventsForWindows(s: SparkSession, d: String): String =
+    windowStageCache.getOrElseUpdate((s, d)) {
+      locally({
+        import s.implicits._
+        val inDir = Files.createTempDirectory("graft-window-in").toString + "/in"
+        val src = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("value").cast("double").as("value"))
+        src.repartitionByRange(4, col("ts")).write.parquet(inDir)
+        val stamped = stampAscending(inDir)
+        val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
+        appendSentinelLast(inDir, stamped,
+          Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000), 0.0))
+            .toDF("user_id", "ts", "value"))
+        inDir
+      })
+    }
 
   /** Runs a REAL streaming tumbling-window aggregation: file stream (5
     * micro-batches, time-ordered) → 1-minute watermark → 5-minute window
@@ -783,17 +830,8 @@ object StreamQueries {
   private def runWindowPipeline(s: SparkSession, d: String): String =
     windowCache.getOrElseUpdate((s, d)) {
       locally({
-        import s.implicits._
         val tmp = Files.createTempDirectory("graft-window-q").toString
-        val inDir = s"$tmp/in"
-        val src = Tables.events(s, d)
-          .select(col("ts"), col("value").cast("double").as("value"))
-        src.repartitionByRange(4, col("ts")).write.parquet(inDir)
-        val stamped = stampAscending(inDir)
-        val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
-        appendSentinelLast(inDir, stamped,
-          Seq((new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000), 0.0))
-            .toDF("ts", "value"))
+        val inDir = stagedEventsForWindows(s, d)
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "ts timestamp, value double")
         val stream = s.readStream.schema(schema)
@@ -843,16 +881,8 @@ object StreamQueries {
   private def runSlidingPipeline(s: SparkSession, d: String): String =
     slidingCache.getOrElseUpdate((s, d)) {
       locally({
-        import s.implicits._
         val tmp = Files.createTempDirectory("graft-sliding-q").toString
-        val inDir = s"$tmp/in"
-        val src = Tables.events(s, d).select(col("ts"))
-        src.repartitionByRange(4, col("ts")).write.parquet(inDir)
-        val stamped = stampAscending(inDir)
-        val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
-        appendSentinelLast(inDir, stamped,
-          Seq(Tuple1(new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000)))
-            .toDF("ts"))
+        val inDir = stagedEventsForWindows(s, d)
         val schema = org.apache.spark.sql.types.StructType.fromDDL("ts timestamp")
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(inDir)
@@ -895,16 +925,8 @@ object StreamQueries {
   private def runSessionPipeline(s: SparkSession, d: String): String =
     sessionCache.getOrElseUpdate((s, d)) {
       locally({
-        import s.implicits._
         val tmp = Files.createTempDirectory("graft-session-q").toString
-        val inDir = s"$tmp/in"
-        val src = Tables.events(s, d).select(col("user_id"), col("ts"))
-        src.repartitionByRange(4, col("ts")).write.parquet(inDir)
-        val stamped = stampAscending(inDir)
-        val maxTs = src.agg(max(col("ts"))).head().getTimestamp(0)
-        appendSentinelLast(inDir, stamped,
-          Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000)))
-            .toDF("user_id", "ts"))
+        val inDir = stagedEventsForWindows(s, d)
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "user_id bigint, ts timestamp")
         val stream = s.readStream.schema(schema)
@@ -1070,8 +1092,7 @@ object StreamQueries {
     */
   def j3StreamInterval(s: SparkSession, d: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft-ssjoin-q").toString
-    val inDir = s"$tmp/in"
-    eventsAsTurns(s, d).repartitionByRange(4, col("ts")).write.parquet(inDir)
+    val inDir = stagedTurnsByTs(s, d)
     def side() = s.readStream.schema(Schemas.turn)
       .option("maxFilesPerTrigger", "2").parquet(inDir)
     val buys = side().filter(col("role") === "purchase")
@@ -1390,8 +1411,7 @@ object StreamQueries {
     */
   def j6StreamSemi(s: SparkSession, d: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft-sssemi-q").toString
-    val inDir = s"$tmp/in"
-    eventsAsTurns(s, d).repartitionByRange(4, col("ts")).write.parquet(inDir)
+    val inDir = stagedTurnsByTs(s, d)
     def side() = s.readStream.schema(Schemas.turn)
       .option("maxFilesPerTrigger", "2").parquet(inDir)
     val buys = side().filter(col("role") === "purchase")
@@ -1524,8 +1544,7 @@ object StreamQueries {
         import s.implicits._
         implicit val sp: SparkSession = s
         val tmp = Files.createTempDirectory("graft-fanout-q").toString
-        val inDir = s"$tmp/in"
-        eventsAsTurns(s, d).repartitionByRange(4, col("ts")).write.parquet(inDir)
+        val inDir = stagedTurnsByTs(s, d)
         val stream = s.readStream.schema(Schemas.turn)
           .option("maxFilesPerTrigger", "2").parquet(inDir).as[Turn]
         val targets = fanoutTargets.map { case (name, roles) =>

@@ -86,8 +86,14 @@ object ChangeStream {
     val writer = changes(src, maxFilesPerTrigger).writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // persist before the emptiness probe — see MergeSink.apply: the
+        // probe otherwise re-runs the change-resolution once for the
+        // probe and once for the merge
         val up = resolved(df, dst.keyCol)
-        if (!up.isEmpty) { dst.merge(up, dst.keyCol, batchId); () }
+        up.persist()
+        try {
+          if (!up.isEmpty) { dst.merge(up, dst.keyCol, batchId); () }
+        } finally { up.unpersist(); () }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

@@ -92,16 +92,21 @@ object MergeSink {
       lineageShard: Option[Column] = None)(
       batch: Dataset[ConvSnapshot], batchId: Long): Unit = {
     val df = batch.toDF()
-    if (!df.isEmpty) {
-      // One pass over the batch: cache while three consumers read it
-      // (merge survivors-join, lineage agg, signals projection).
-      df.persist()
-      try {
+    // Persist BEFORE the emptiness probe: the probe is an action, and on
+    // an unpersisted batch frame it re-executed the whole stateful
+    // micro-batch plan (fold + state-store reads) once for the probe and
+    // once more for the merge consumers — every batch paid the fold
+    // twice (guide §1.2: don't compute things you throw away). Persisted,
+    // the probe fills the cache and merge/lineage/signals read it.
+    df.persist()
+    try {
+      if (!df.isEmpty) {
         val shard = lineageShard.getOrElse(spark_partition_id().cast("long"))
         table.merge(df, "conv_id", batchId,
           lineageDf = Some(lineageOf(df, batchId, shard)),
           signalsDf = Some(signalsOf(df, batchId, publishType)))
-      } finally df.unpersist()
-    }
+        ()
+      }
+    } finally df.unpersist()
   }
 }

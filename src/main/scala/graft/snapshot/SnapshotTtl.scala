@@ -92,12 +92,18 @@ object SnapshotTtl {
   def sink(table: IcebergLikeTable)(
       batch: Dataset[ConvSnapshotGen], batchId: Long): Unit = {
     val df = batch.toDF()
-    if (!df.isEmpty) {
-      table.merge(
-        df.withColumn("row_key",
-          concat_ws(":", col("conv_id"), col("gen"))),
-        table.keyCol, batchId)
-    }
+    // persist before the emptiness probe — see MergeSink.apply: the probe
+    // otherwise re-executes the stateful micro-batch plan
+    df.persist()
+    try {
+      if (!df.isEmpty) {
+        table.merge(
+          df.withColumn("row_key",
+            concat_ws(":", col("conv_id"), col("gen"))),
+          table.keyCol, batchId)
+        ()
+      }
+    } finally df.unpersist()
   }
 
   /** Recombine generations into the exact snapshot (see class doc). */
