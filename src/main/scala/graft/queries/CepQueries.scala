@@ -182,8 +182,11 @@ object CepQueries {
         val mask = PatternSteps.zipWithIndex.map { case (st, j) =>
           when(st.pred, lit(1 << j)).otherwise(lit(0))
         }.reduce(_ + _)
+        // 2 files/trigger: cross-batch NFA state + watermark finalization
+        // still exercised (2 data batches + sentinel + no-data batch) at
+        // half the per-batch state-store commits
         val events = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .option("maxFilesPerTrigger", "2").parquet(inDir)
           .select(col("user_id").cast("string").as("convId"),
             col("event_id").as("idx"), unix_micros(col("ts")).as("tsUs"),
             mask.as("mask"), col("ts"))
@@ -269,8 +272,9 @@ object CepQueries {
             "conv_id string, t1_us bigint, t2_us bigint, t3_us bigint, depth int"))
         graft.snapshot.SnapshotTws.withRocksDb(s) {
           StreamQueries.withStreamParallelism(s, inDir) {
+            // 2 files/trigger — same rationale as the NFA drain above
             val events = s.readStream.schema(schema)
-              .option("maxFilesPerTrigger", "1").parquet(inDir)
+              .option("maxFilesPerTrigger", "2").parquet(inDir)
               .select(col("user_id").cast("string").as("convId"),
                 col("event_id").as("idx"), unix_micros(col("ts")).as("tsUs"),
                 mask.as("mask"), col("ts"))

@@ -1037,8 +1037,10 @@ object StreamQueries {
         // broadcasts KMeans.fit output the same way
         val cents = emb.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cluster"), col("embedding").as("c_emb"))
+        // 2 files/trigger: the ingest stays multi-commit (2 batches, each
+        // an exactly-once MERGE) at half the per-batch merge overhead
         val stream = s.readStream.schema(emb.schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .option("maxFilesPerTrigger", "2").parquet(inDir)
         val table = new IcebergLikeTable(s"$tmp/table", 8, keyCol = "vec_key",
           emptySchema = org.apache.spark.sql.types.StructType.fromDDL(
             "vec_key string, vec_id bigint, cluster bigint"))
@@ -1316,8 +1318,13 @@ object StreamQueries {
       mode: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft-ssouter-q").toString
     val inDir = stagedOuterInput(s, d)
+    // 2 files/trigger: 2 data batches + the sentinel batch + the no-data
+    // finalization batch still exercise cross-batch join state AND
+    // watermark eviction, at half the per-batch state-store commits of
+    // the 1-file form (the drained result is watermark-determined,
+    // batch-slicing-independent — exactly what the oracle proves)
     def side() = s.readStream.schema(Schemas.turn)
-      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
     val buys = side()
       .select(col("conv_id"), col("turn_idx").as("buy_idx"), col("role"),
         col("ts").as("buy_ts"))
