@@ -216,6 +216,30 @@ object ScalingBench {
               col("text")),
           "doc_id", "text", numHashes = 32))
       }),
+      // the FULL LSH-routed near-dup pipeline at transcript scale (the
+      // corpus-dedup bill of a real 100 TB build): signatures → banded
+      // candidates → exact shingle-Jaccard verify joins — the same shape
+      // as the ngram_jaccard_lsh row, turns-as-docs, doc_id an 8-byte
+      // hash (1/16 sample like minhash_sig; synthetic transcripts
+      // duplicate heavily, so the candidate stage carries real volume)
+      "lsh_dedup" -> (() => best {
+        val docs = spark.read.parquet(SharedInput)
+          .where(pmod(hash(col("conv_id"), col("turn_idx")), lit(16)) === 0)
+          .select(xxhash64(col("conv_id"), col("turn_idx")).as("doc_id"),
+            col("text"))
+        val cands = graft.dedup.Dedup.minhashCandidates(docs, "doc_id", "text",
+          numHashes = 32, rowsPerBand = 2).select("doc_a", "doc_b")
+        val sh = docs.select(col("doc_id"),
+          graft.dedup.Dedup.shingleArr(col("text")).as("sh"))
+        noop(cands
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+            size(col("sh_a")).cast("long").as("n_a"),
+            size(col("sh_b")).cast("long").as("n_b"))
+          .filter(col("inter") * 2 >= col("n_a") + col("n_b") - col("inter")))
+      }),
       // test-set decontamination at transcript scale: every turn a doc.
       // The CORPUS side carries the scaling (1/4 sample, ~12M docs —
       // the side that grows to 100 TB); the BENCHMARK side is pinned

@@ -68,6 +68,15 @@ object CountMin {
     * build-side [[cell]].
     */
   def probe(sk: ArrayData, key: UTF8String): Long = {
+    // geometry guard BEFORE the loop (one branch-predictable check):
+    // cms_estimate is SQL-registered for arbitrary input and
+    // UnsafeArrayData.getLong does NO bounds checking — a user-supplied
+    // sketch shorter than Depth×Width would silently read out-of-bounds
+    // memory and return garbage
+    if (sk.numElements() != Depth * Width)
+      throw new IllegalArgumentException(
+        s"cms_estimate: sketch has ${sk.numElements()} cells, " +
+          s"expected ${Depth * Width} (depth=$Depth width=$Width)")
     val s = key.toString
     var best = Long.MaxValue
     var i = 0

@@ -89,11 +89,24 @@ object DumpService {
         // registry before submitting the scan
         if (manager.status(uid) == DumpStatus.Running) {
           Replay.dump(table).as(Encoders.STRING).foreachPartition(publish)
-          manager.finish(uid)
+          // an abort landing between the Running re-check and the scan
+          // cancels the job group, but a scan that finished before the
+          // cancel reached it must not report success over an abort —
+          // finish() only from the still-Running state (finish itself
+          // guards the transition; checking first shrinks the race)
+          if (manager.status(uid) == DumpStatus.Running) manager.finish(uid)
         }
       } catch {
-        case _: Throwable =>
+        case e: Throwable =>
+          // a failed dump must be DIAGNOSABLE: the operator otherwise sees
+          // only status=Failed with zero trace
+          System.err.println(s"[dump $uid] failed: $e")
           if (manager.status(uid) == DumpStatus.Running) manager.fail(uid)
+          e match { // never swallow fatal JVM errors (OOM, stack overflow)
+            case _: InterruptedException => Thread.currentThread().interrupt()
+            case fatal: Error => throw fatal
+            case _ => ()
+          }
       } finally {
         spark.sparkContext.clearJobGroup()
       }

@@ -147,8 +147,21 @@ final class ServeApi(targets: Map[String, ServeApi.Target], port: Int = 0)(
 
   private def msg(s: String): String = s"""{"message": ${q(s)}}"""
 
-  private def q(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def q(s: String): String = {
+    val b = new StringBuilder(s.length + 2).append('"')
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"' => b.append("\\\"")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      // remaining control chars (< 0x20) are invalid raw in JSON strings —
+      // a %0A-style decoded path segment must not break the error body
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
 
   private def jsonArr(xs: Seq[String]): String = xs.map(q).mkString("[", ", ", "]")
 

@@ -86,6 +86,12 @@ object IcebergLikeTable {
       keyBloomNdv: Option[Long] = None, autoVacuum: Boolean = true,
       maxDeltasPerBucket: Int = 8, retainManifests: Int = 2)(
       implicit spark: SparkSession): IcebergLikeTable = {
+    // existence check BEFORE any table construction: the constructor
+    // creates root/data, so a probe instance on a typo'd path would
+    // side-effect the filesystem and mask the typo on retry
+    require(Files.exists(Paths.get(root, "manifest.json")),
+      s"IcebergLikeTable.open('$root'): no committed manifest — construct " +
+        "the table explicitly to create it")
     val probe = new IcebergLikeTable(root, numBuckets = 8)
     val m = probe.readManifest()
     require(m.lastBatchId >= 0L,

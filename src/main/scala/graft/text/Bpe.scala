@@ -60,33 +60,90 @@ object Bpe {
     }
   }
 
-  /** Left-to-right non-overlapping merge of one pair within a token list. */
+  /** Left-to-right non-overlapping merge of one pair within a token list.
+    * Iterative, not recursive: a pathological multi-100k-char word must
+    * not blow the stack — this runs on the driver during train() AND
+    * inside executor tasks during encode().
+    */
   private[graft] def applyMerge(toks: List[String],
-      pair: (String, String)): List[String] = toks match {
-    case a :: b :: rest if (a, b) == pair =>
-      (a + b) :: applyMerge(rest, pair)
-    case a :: rest => a :: applyMerge(rest, pair)
-    case Nil => Nil
+      pair: (String, String)): List[String] = {
+    val out = List.newBuilder[String]
+    var rest = toks
+    while (rest.nonEmpty) rest match {
+      case a :: b :: tl if (a, b) == pair => out += (a + b); rest = tl
+      case a :: tl => out += a; rest = tl
+      case Nil => ()
+    }
+    out.result()
   }
 
-  /** Learn `numMerges` merges from a word-frequency table. The input is
-    * the compact model (distinct words), so `collect()` here is the
-    * documented contract — vocabulary-, not corpus-sized; the heavy pass
-    * stays in [[wordCounts]].
+  /** Learn `numMerges` merges from a word-frequency table.
+    *
+    * Boundedness (the 100 TB contract): a web-scale crawl has 10⁸-10⁹
+    * DISTINCT regex tokens (numbers, hashes, typos), so collecting the
+    * raw distinct-word table is a driver OOM at design scale. The model
+    * is therefore bounded BEFORE the collect: a `minCount` frequency
+    * floor (hapax noise carries no merge signal — the standard BPE
+    * trainer pre-filter) and a deterministic top-`maxWords` cap by
+    * (count DESC, word ASC) — a distributed TakeOrdered, so only the
+    * capped model crosses the wire. Defaults keep every fixture corpus
+    * intact (BpeSpec pins the learned merges unchanged); the collected
+    * size is logged so an operator can see how close the cap is.
+    *
+    * The merge loop maintains pair counts INCREMENTALLY: one full count
+    * at init, then each merge rewrites only the words containing the
+    * chosen pair (tracked by a pair → word-index occurrence map) and
+    * patches their pair-count deltas — O(affected words) per merge
+    * instead of the earlier full O(model × word-length) recount
+    * ([[mergeOnce]] keeps the from-scratch form as the spec's reference).
+    * Selection stays (count DESC, pair ASC), deterministic.
     */
-  def train(wordFreq: DataFrame, numMerges: Int): Seq[(String, String)] = {
-    var model: Seq[(List[String], Long)] = wordFreq
+  def train(wordFreq: DataFrame, numMerges: Int,
+      minCount: Long = 1L, maxWords: Int = 1 << 20): Seq[(String, String)] = {
+    val bounded = wordFreq
       .select(col("word"), col("n").cast("long"))
-      .collect()
-      .map(r => (r.getString(0).split("").toList, r.getLong(1))).toSeq
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("word").asc).limit(maxWords)
+    val model: Array[(List[String], Long)] = bounded.collect()
+      .map(r => (r.getString(0).split("").toList, r.getLong(1)))
+    System.err.println(
+      s"[bpe] collected model: ${model.length} distinct words " +
+        s"(minCount=$minCount, cap=$maxWords)")
+
+    val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+    val occurs =
+      scala.collection.mutable.Map[(String, String), scala.collection.mutable.Set[Int]]()
+    def patch(idx: Int, toks: List[String], n: Long, sign: Long): Unit =
+      toks.lazyZip(toks.tail).foreach { (a, b) =>
+        val p = (a, b)
+        val c = pairCounts.getOrElse(p, 0L) + sign * n
+        if (c == 0L) pairCounts.remove(p) else pairCounts(p) = c
+        if (sign > 0L)
+          occurs.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += idx
+      }
+    model.zipWithIndex.foreach { case ((t, n), i) => patch(i, t, n, 1L) }
+
     val merges = Seq.newBuilder[(String, String)]
     var i = 0
-    var done = false
-    while (i < numMerges && !done) {
-      mergeOnce(model) match {
-        case Some((pair, next)) => merges += pair; model = next; i += 1
-        case None => done = true
-      }
+    while (i < numMerges && pairCounts.nonEmpty) {
+      // unique minimum: the comparison key embeds the pair itself
+      val best = pairCounts.iterator
+        .minBy { case ((a, b), n) => (-n, a, b) }._1
+      merges += best
+      // occurs is a SUPERSET hint (stale after earlier rewrites) — the
+      // adjacency re-check below keeps the count patches exact
+      occurs.remove(best).getOrElse(scala.collection.mutable.Set.empty[Int])
+        .foreach { idx =>
+          val (toks, n) = model(idx)
+          val hasPair = toks.lazyZip(toks.tail).exists((a, b) => (a, b) == best)
+          if (hasPair) {
+            patch(idx, toks, n, -1L)
+            val next = applyMerge(toks, best)
+            model(idx) = (next, n)
+            patch(idx, next, n, 1L)
+          }
+        }
+      i += 1
     }
     merges.result()
   }
