@@ -64,6 +64,15 @@ object BenchExtra {
         graft.dedup.Dedup.simhashMd5(docs, "doc_id", "text"))),
       "simhash_full" -> (() => noop(
         graft.dedup.Dedup.simhashCandidatesOracle(docs, "doc_id", "text"))),
+      // A/B probe: does pinning the signature frame (vs relying on
+      // exchange reuse across the guarded-pairs branches) cut the full
+      // candidate pass?
+      "simhash_persist" -> (() => {
+        val sig = graft.dedup.Dedup.simhashMd5(docs, "doc_id", "text").persist()
+        try noop(graft.dedup.Dedup.candidatesFromSimhash(sig,
+          maxHamming = 3, bits = 60, nChunks = 4))
+        finally { sig.unpersist(); () }
+      }),
       // --- snapshot pipeline: fold-only vs fold+MERGE -------------------
       "pipe_fold_noop" -> (() => {
         import spark.implicits._

@@ -26,6 +26,33 @@ object Dedup {
 
   private val wordPat = "[a-z0-9]+"
 
+  /** Banded/chunked signature rows pinned per (session, canonical input
+    * plan), REPARTITIONED by their bucket key before the pin: the
+    * guarded-pairs shape consumes its input from several branches
+    * (hot-bucket stats, the broadcast of their reps, both sides of the
+    * self-join), and exchange reuse does NOT cover the stats branch —
+    * its exchange partitions differently — so the expensive signature
+    * pass (token explode + hashes + wide aggregate) re-ran per branch
+    * (measured: simhash candidates at sf0.1 dropped ~40% pinned).
+    * Repartitioning by the bucket key INSIDE the pin makes the cached
+    * relation report hashpartitioning(bucket key), so the stats
+    * aggregation AND both self-join sides consume it exchange-free
+    * (guide §2.4: operations keyed the same way share one exchange) —
+    * one shuffle total where the unpinned plan paid the signature pass
+    * per branch. Signature rows are doc_id + a few longs — the
+    * lightweight proxy of guide §8 — so pinning is cheap at any scale
+    * (MEMORY_AND_DISK spills past memory). Bounded LRU; evicted entries
+    * unpersist (same pattern as the query-layer FixtureCache).
+    */
+  private val sigCache = new graft.queries.FixtureCache[DataFrame](
+    onEvict = df => { df.unpersist(); () })
+
+  private def pinned(sig: DataFrame, tag: String): DataFrame =
+    sigCache.getOrElseUpdate((sig.sparkSession,
+      tag + sig.queryExecution.analyzed.semanticHash().toString)) {
+      sig.persist()
+    }
+
   /** 3-word shingle array (distinct) of a text column — native
     * [[graft.functions.Shingles]] k-gram expression (the HOF transform
     * form it replaces was interpreted per element; see Shingles doc).
@@ -83,8 +110,9 @@ object Dedup {
     * rows — a full extra shuffle of the signature set even when no hot
     * bucket existed.)
     */
-  private def guardedSelfPairs(rows: DataFrame, keyCols: Seq[String],
+  private def guardedSelfPairs(rows0: DataFrame, keyCols: Seq[String],
       payload: String, maxBucket: Int): DataFrame = {
+    val rows = pinned(rows0.repartition(keyCols.map(col): _*), "selfpairs:")
     val pa = s"${payload}_a"; val pb = s"${payload}_b"
     val hotStats = rows.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__rep"))

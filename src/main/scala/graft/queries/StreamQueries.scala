@@ -144,8 +144,12 @@ object StreamQueries {
         // 4 range-partitioned files + maxFilesPerTrigger=1 → 4 micro-batches,
         // exercising cross-batch state carry (znap's multi-batch ingest).
         val inDir = stagedTurnsByTs(s, d)
+        // 2 files/trigger: 2 data batches still exercise cross-batch state
+        // carry at half the per-batch state-store commits (r6; same
+        // rationale as the j5/j7/j8 harness — the fold is batch-slicing-
+        // independent, which is exactly what the s1 oracle proves)
         val stream = s.readStream.schema(Schemas.turn)
-          .option("maxFilesPerTrigger", "1").parquet(inDir).as[Turn]
+          .option("maxFilesPerTrigger", "2").parquet(inDir).as[Turn]
         // key blooms on: the oracled q1_sql_lookup / s1 snapshot reads
         // exercise bloom-bearing files end to end
         val table = new IcebergLikeTable(s"$tmp/table", 8,
@@ -194,8 +198,9 @@ object StreamQueries {
         graft.snapshot.SnapshotTws.withRocksDb(s) {
           val tmp = Files.createTempDirectory("graft-tws-q").toString
           val inDir = stagedTurnsByTs(s, d)
+          // 2 files/trigger — same rationale as runPipeline
           val stream = s.readStream.schema(Schemas.turn)
-            .option("maxFilesPerTrigger", "1").parquet(inDir).as[Turn]
+            .option("maxFilesPerTrigger", "2").parquet(inDir).as[Turn]
           val table = new IcebergLikeTable(s"$tmp/table", 8)
           withStreamParallelism(s, inDir) {
             val q = graft.snapshot.SnapshotTws.updates(stream, watermark = "3650 days")
@@ -477,8 +482,10 @@ object StreamQueries {
         val schema = org.apache.spark.sql.types.StructType.fromDDL("k string")
         val name = s"cms_stream_${math.abs(tmp.hashCode)}"
         withStreamParallelism(s, inDir) {
+          // 2 files/trigger: the sketch merge is associative+commutative,
+          // so the drained state is slicing-independent (CountMinSpec)
           val q = s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1").parquet(inDir)
+            .option("maxFilesPerTrigger", "2").parquet(inDir)
             .agg(graft.functions.CountMin.sketch(col("k")).as("sk"))
             .writeStream.outputMode("complete")
             .option("checkpointLocation", s"$tmp/ckpt")
@@ -721,8 +728,12 @@ object StreamQueries {
         val tmp = Files.createTempDirectory("graft-ttl-q").toString
         // shared staging is already mtime-stamped: arrival order = time order
         val inDir = stagedTurnsByTs(s, d)
+        // 2 files/trigger: batches stay time-ordered ([f1,f2] then [f3,f4]),
+        // the watermark still advances mid-stream (file ranges are ts
+        // quartiles, TTL is 24 h), so eviction + re-entry stay exercised;
+        // the additive read is slicing-independent (the s1 oracle proves it)
         val stream = s.readStream.schema(Schemas.turn)
-          .option("maxFilesPerTrigger", "1").parquet(inDir).as[Turn]
+          .option("maxFilesPerTrigger", "2").parquet(inDir).as[Turn]
         val table = new IcebergLikeTable(s"$tmp/table", 8,
           keyCol = "row_key", emptySchema = Schemas.snapshotGen)
         withStreamParallelism(s, inDir) {
@@ -834,8 +845,11 @@ object StreamQueries {
         val inDir = stagedEventsForWindows(s, d)
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "ts timestamp, value double")
+        // 2 files/trigger: batches stay time-ordered, the sentinel still
+        // arrives last and flushes every real window (append-mode emission
+        // is watermark-determined, batch-slicing-independent)
         val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .option("maxFilesPerTrigger", "2").parquet(inDir)
         val outDir = s"$tmp/out"
         withStreamParallelism(s, inDir) {
           val q = stream.withWatermark("ts", "1 minute")
@@ -884,8 +898,9 @@ object StreamQueries {
         val tmp = Files.createTempDirectory("graft-sliding-q").toString
         val inDir = stagedEventsForWindows(s, d)
         val schema = org.apache.spark.sql.types.StructType.fromDDL("ts timestamp")
+        // 2 files/trigger — same rationale as the tumbling drain
         val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .option("maxFilesPerTrigger", "2").parquet(inDir)
         val outDir = s"$tmp/out"
         withStreamParallelism(s, inDir) {
           val q = stream.withWatermark("ts", "1 minute")
@@ -929,8 +944,10 @@ object StreamQueries {
         val inDir = stagedEventsForWindows(s, d)
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "user_id bigint, ts timestamp")
+        // 2 files/trigger — same rationale as the tumbling drain (session
+        // merges across batches are still exercised: 2 data batches)
         val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .option("maxFilesPerTrigger", "2").parquet(inDir)
         val outDir = s"$tmp/out"
         withStreamParallelism(s, inDir) {
           val q = stream.withWatermark("ts", "1 minute")
@@ -978,8 +995,9 @@ object StreamQueries {
           .repartitionByRange(4, col("doc_id")).write.parquet(inDir)
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           "doc_id bigint, text string")
+        // 2 files/trigger: digest-keyed MERGEs are slicing-independent
         val stream = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .option("maxFilesPerTrigger", "2").parquet(inDir)
         val table = new IcebergLikeTable(s"$tmp/table", 8, keyCol = "digest",
           emptySchema = org.apache.spark.sql.types.StructType.fromDDL(
             "digest string, doc_id bigint"))
@@ -1159,9 +1177,20 @@ object StreamQueries {
               // resolve once per batch, route each key to exactly one shard
               val up = graft.replay.ChangeStream.resolved(df, src.keyCol)
               up.persist()
-              try shards.foreach { case (i, t) =>
-                val part = up.filter(col(t.keyCol).cast("long") % 2 === i)
-                if (!part.isEmpty) { t.merge(part, t.keyCol, batchId); () }
+              // the two shard merges touch disjoint tables/dirs — submit
+              // them from separate threads so the second shard's jobs
+              // back-fill the first's scheduling gaps (guide §2.6 overlap
+              // independent jobs); FIFO scheduling keeps them fair
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.ExecutionContext.Implicits.global
+              try {
+                Await.result(Future.sequence(shards.map { case (i, t) =>
+                  Future {
+                    val part = up.filter(col(t.keyCol).cast("long") % 2 === i)
+                    if (!part.isEmpty) { t.merge(part, t.keyCol, batchId); () }
+                  }
+                }), scala.concurrent.duration.Duration.Inf)
+                ()
               } finally { up.unpersist(); () }
             }
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1209,8 +1238,10 @@ object StreamQueries {
       .repartitionByRange(4, col("event_id")).write.parquet(inDir)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id bigint, user_id bigint, event_type string, value double")
+    // 2 files/trigger: the stream-static join is stateless per batch —
+    // slicing cannot change the result, only per-batch overhead
     val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
     val dim = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
     val joined = stream.join(broadcast(dim), col("user_id") === col("c_custkey"))
@@ -1475,8 +1506,10 @@ object StreamQueries {
       .repartitionByRange(4, col("ts")).write.parquet(inDir)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id bigint, user_id bigint, event_type string, ts timestamp")
+    // 2 files/trigger: with the wide watermark the keyed dedup state sees
+    // every replica whatever the slicing — result is exactly DISTINCT
     val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
     val out = stream.withWatermark("ts", "3650 days")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type").as("role"),

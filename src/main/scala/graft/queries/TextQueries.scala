@@ -134,8 +134,10 @@ object TextQueries {
 
   /** Exact n-gram (3-word-shingle) Jaccard similarity for candidate pairs in
     * a bounded id range. Shingle set built per row (narrow), then a
-    * shingle-keyed self-join — the standard pair-generation shape; at scale
-    * the id bound is replaced by LSH candidate pairs (see dedup_minhash).
+    * shingle-keyed self-join — the standard pair-generation shape. The
+    * PRODUCTION form is [[ngramJaccardLsh]]: no id bound, pair generation
+    * through banded MinHash LSH, exact verification on candidates only —
+    * this bounded all-pairs form exists as the oracle-shaped exhibit.
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 300)

@@ -74,16 +74,34 @@ object SnapshotTws {
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** RocksDB provider tuning applied alongside the provider switch:
+    *  - trackTotalNumberOfRows=false — with tracking on, every put/delete
+    *    pays an extra point GET to maintain the numRows metric; the
+    *    metric is observability-only (no query reads it), so the state
+    *    path should not tax every write for it (guide §1.2 per-task work).
+    *  - changelogCheckpointing — commits upload the per-batch changelog
+    *    instead of snapshotting SST files every commit; snapshots happen
+    *    in the background at minDeltasForSnapshot cadence. This is the
+    *    documented production setting for commit-heavy stateful queries
+    *    and is semantics-neutral (checkpoint format only).
+    * Values are restored after `body`, like the provider itself.
+    */
+  private val Tuning = Seq(
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
   /** Run `body` with the RocksDB state-store provider set (required by
     * transformWithState), restoring the previous provider after.
     */
   def withRocksDb[T](s: SparkSession)(body: => T): T = {
-    val old = s.conf.getOption(ProviderKey)
+    val keys = ProviderKey +: Tuning.map(_._1)
+    val olds = keys.map(k => k -> s.conf.getOption(k))
     s.conf.set(ProviderKey, RocksDb)
+    Tuning.foreach { case (k, v) => s.conf.set(k, v) }
     try body
-    finally old match {
-      case Some(v) => s.conf.set(ProviderKey, v)
-      case None => s.conf.unset(ProviderKey)
+    finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
     }
   }
 }

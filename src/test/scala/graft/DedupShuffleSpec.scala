@@ -46,12 +46,15 @@ class DedupShuffleSpec extends SparkSpec {
       Dedup.minhashCandidates(docs, "doc_id", "text",
         numHashes = numHashes, rowsPerBand = rowsPerBand).count()
     }
-    // Budget: shingle-explode agg (≤ distinct shingles + partials),
-    // hotStats partials (tiny), banded self-join (≤ 2 × banded rows),
-    // pair dedup (≈ 0 pairs here) — measures ~2.0 × banded on this
-    // corpus. The old full-input `reps` dedup added a further `banded`
-    // records (→ ~3.0 ×), which this bound excludes.
-    val budget = (banded * 2.7).toLong
+    // Budget: the r6 guarded-pairs plan repartitions the banded rows by
+    // (band, bucket) ONCE into a pinned cache that the stats aggregation
+    // and both self-join sides consume exchange-free, so the pipeline's
+    // shuffle is ~1.0 × banded + signature-agg partials + pair dedup
+    // (measures ~1.03 × banded here). 2.0 × admits partial-agg noise but
+    // excludes BOTH regressions this spec guards: a star side gone
+    // full-input (old round-3 reps dedup) and a self-join that stopped
+    // sharing the banded exchange (each ≥ +1.0 × banded).
+    val budget = (banded * 2.0).toLong
     assert(recs > 0, "listener saw no shuffles — measurement broken")
     assert(recs < budget,
       s"healthy-path shuffle records $recs exceed budget $budget " +
