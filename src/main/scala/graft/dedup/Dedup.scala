@@ -44,14 +44,8 @@ object Dedup {
     * (MEMORY_AND_DISK spills past memory). Bounded LRU; evicted entries
     * unpersist (same pattern as the query-layer FixtureCache).
     */
-  private val sigCache = new graft.queries.FixtureCache[DataFrame](
-    onEvict = df => { df.unpersist(); () })
-
   private def pinned(sig: DataFrame, tag: String): DataFrame =
-    sigCache.getOrElseUpdate((sig.sparkSession,
-      tag + sig.queryExecution.analyzed.semanticHash().toString)) {
-      sig.persist()
-    }
+    graft.queries.PlanPin.pinned(sig, tag)
 
   /** 3-word shingle array (distinct) of a text column — native
     * [[graft.functions.Shingles]] k-gram expression (the HOF transform
@@ -91,29 +85,37 @@ object Dedup {
   }
 
   /** Within-bucket pair generation with the hot-bucket guard (see object
-    * doc). `rows` carries one row per (doc_id, bucket-key...) plus a
-    * per-doc `payload` column (the signature). Buckets ≤ maxBucket emit
-    * all pairs; larger buckets emit star pairs to the min-doc_id
-    * representative.
+    * doc). `rows0` carries one LIGHT row per (doc_id, bucket-key...);
+    * `payloads` carries each doc's signature, attached to the pair set
+    * at the end. Buckets ≤ maxBucket emit all pairs; larger buckets emit
+    * star pairs to the min-doc_id representative.
     *
     * Scale shape: the guard taxes the healthy path with ONE extra
     * hash-aggregation (map-side partial combine, stat rows only cross the
     * wire) whose output is filtered to the hot buckets BEFORE a broadcast
     * join — degenerate buckets are rare by nature, so the broadcast is
     * tiny and the big banded side never shuffles for tagging. The star
-    * side — member rows AND representative payloads — is derived
-    * entirely from hot-tagged rows (a hot bucket's representative is by
-    * construction a member of that bucket, so its payload is present
-    * there): with zero hot buckets every star-side stage is empty and
-    * the healthy path's only extra cost is the stats aggregation.
-    * (The round-3 form built `reps` by dropDuplicates over ALL banded
-    * rows — a full extra shuffle of the signature set even when no hot
-    * bucket existed.)
+    * side derives entirely from hot-tagged rows: with zero hot buckets it
+    * is empty and the healthy path's only extra cost is the stats
+    * aggregation. (The round-3 form built representative payloads by
+    * dropDuplicates over ALL banded rows — a full extra shuffle of the
+    * signature set even when no hot bucket existed; payload attach via
+    * the pair joins made that stage unnecessary outright.)
     */
   private def guardedSelfPairs(rows0: DataFrame, keyCols: Seq[String],
-      payload: String, maxBucket: Int): DataFrame = {
+      payloads: DataFrame, payload: String, maxBucket: Int): DataFrame = {
+    // r6 restructure (guide §8: decide with small rows, attach payloads
+    // once): `rows0` is the LIGHT routing stream — (doc_id, bucket key)
+    // only, ~24 bytes/row — repartitioned by the bucket key into a
+    // pinned cache so the hot-bucket stats aggregate and both self-join
+    // sides consume ONE exchange (the unpinned plan re-ran the signature
+    // pass per branch; pinning rows WITH the payload instead defeated
+    // column pruning and quadrupled the exchange bytes). The signature
+    // payload rides in `payloads` — (doc_id, payload), pinned
+    // doc_id-partitioned upstream — and is attached to the PAIR set at
+    // the end: the attach joins shuffle only pair rows (the cached
+    // payload side already reports hashpartitioning(doc_id)).
     val rows = pinned(rows0.repartition(keyCols.map(col): _*), "selfpairs:")
-    val pa = s"${payload}_a"; val pb = s"${payload}_b"
     val hotStats = rows.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"), min(col("doc_id")).as("__rep"))
       .filter(col("__n") > maxBucket)
@@ -122,37 +124,36 @@ object Dedup {
     val allPairs = small.as("a").join(small.as("b"),
       keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col(s"a.$payload").as(pa), col(s"b.$payload").as(pb))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val hot = tagged.filter(col("__n").isNotNull)
-    val hotMembers = hot
+    val starPairs = hot
       .filter(col("doc_id") =!= col("__rep"))
-      .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"),
-        col(payload).as(pb))
+      .select(col("__rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val pairs = allPairs.unionByName(starPairs)
       .dropDuplicates("doc_a", "doc_b")
-    val reps = hot
-      .filter(col("doc_id") === col("__rep"))
-      .select(col("doc_id").as("doc_a"), col(payload).as(pa))
-      .dropDuplicates("doc_a")
-    val starPairs = hotMembers.join(reps, "doc_a")
-      .select(col("doc_a"), col("doc_b"), col(pa), col(pb))
-    allPairs.unionByName(starPairs).dropDuplicates("doc_a", "doc_b")
+    pairs
+      .join(payloads.select(col("doc_id").as("doc_a"),
+        col(payload).as(s"${payload}_a")), Seq("doc_a"))
+      .join(payloads.select(col("doc_id").as("doc_b"),
+        col(payload).as(s"${payload}_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col(s"${payload}_a"), col(s"${payload}_b"))
   }
 
-  /** Banded view of the MinHash signatures: one row per (doc, band) keyed
-    * by the band's bucket hash.
+  /** Banded view of a signatures frame: one LIGHT row per (doc, band)
+    * keyed by the band's bucket hash — no signature column, so the
+    * routing stream stays ~24 bytes/row however wide the signature.
     */
-  private def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+  private def bandedBuckets(sigs: DataFrame,
       numHashes: Int, rowsPerBand: Int): DataFrame = {
     val nBands = numHashes / rowsPerBand
-    minhashSignatures(docs, idCol, textCol, numHashes)
-      .select(col("doc_id"), col("sig"),
-        // bucket = hash of the band's signature slice DIRECTLY (xxhash64
-        // over array<bigint>) — the earlier form stringified each slice
-        // and hashed the joined text, allocating nBands strings per doc
-        posexplode(array((0 until nBands).map(b =>
-          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
-          .as(Seq("band", "bucket")))
+    sigs.select(col("doc_id"),
+      // bucket = hash of the band's signature slice DIRECTLY (xxhash64
+      // over array<bigint>) — the earlier form stringified each slice
+      // and hashed the joined text, allocating nBands strings per doc
+      posexplode(array((0 until nBands).map(b =>
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
+        .as(Seq("band", "bucket")))
   }
 
   /** Band-bucket size distribution (descending) — the monitoring surface
@@ -160,7 +161,8 @@ object Dedup {
     */
   def bucketStats(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame =
-    bandedSignatures(docs, idCol, textCol, numHashes, rowsPerBand)
+    bandedBuckets(minhashSignatures(docs, idCol, textCol, numHashes),
+      numHashes, rowsPerBand)
       .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc)
 
@@ -173,8 +175,13 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, rowsPerBand: Int = 4,
       maxBucket: Int = 100000): DataFrame = {
-    val banded = bandedSignatures(docs, idCol, textCol, numHashes, rowsPerBand)
-    guardedSelfPairs(banded, Seq("band", "bucket"), "sig", maxBucket)
+    // signatures computed ONCE, pinned doc_id-partitioned (PlanPin doc):
+    // the banded routing stream and both payload-attach joins read the
+    // cache — the unpinned plan re-ran the shingle+hash pass per branch
+    val sigs = pinned(minhashSignatures(docs, idCol, textCol, numHashes)
+      .repartition(col("doc_id")), "minhashSigs:")
+    val banded = bandedBuckets(sigs, numHashes, rowsPerBand)
+    guardedSelfPairs(banded, Seq("band", "bucket"), sigs, "sig", maxBucket)
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           (x === y).cast("int")), v => v === 1)).cast("double") /
@@ -214,11 +221,14 @@ object Dedup {
       s"pigeonhole completeness needs maxHamming <= nChunks-1")
     val w = bits / nChunks
     val mask = (1L << w) - 1L
-    val chunked = sig.select(col("doc_id"), col("simhash"),
+    // signatures pinned doc_id-partitioned, routing stream kept light —
+    // same shape as minhashCandidates (PlanPin doc)
+    val sigs = pinned(sig.repartition(col("doc_id")), "simhashSigs:")
+    val chunked = sigs.select(col("doc_id"),
       posexplode(array((0 until nChunks).map(c =>
         shiftrightunsigned(col("simhash"), c * w).bitwiseAND(lit(mask))): _*))
         .as(Seq("chunk", "ckey")))
-    guardedSelfPairs(chunked, Seq("chunk", "ckey"), "simhash", maxBucket)
+    guardedSelfPairs(chunked, Seq("chunk", "ckey"), sigs, "simhash", maxBucket)
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
           .cast("long").as("hamming"))

@@ -61,15 +61,6 @@ object RetrievalQueries {
              FROM documents)
        GROUP BY 1, 2"""
 
-  // The per-doc BM25 proxy (doc_id, dl, tf×3 — ~40 bytes/doc) is pinned
-  // per (session, dir) so the stats aggregate and the scoring pass read
-  // ONE tokenized scan instead of re-tokenizing the corpus for each side
-  // of the crossJoin (guide §8: decide with small rows — the heavy
-  // regexp_extract_all runs once, both consumers read the tiny proxy).
-  // Bounded LRU, evicted entries unpersist (same pattern as dedupCache).
-  private val bm25Cache =
-    new FixtureCache[DataFrame](onEvict = df => { df.unpersist(); () })
-
   /** BM25 (k1 = 1.2, b = 0.75) top-10 for a fixed 3-term query. */
   def bm25TopK(s: SparkSession, d: String): DataFrame = {
     // SORTED so the explicit score fold matches the oracle's
@@ -84,13 +75,15 @@ object RetrievalQueries {
     // array_remove is a codegen'd collection expression where the filter
     // HOF evaluated its lambda INTERPRETED once per token (guide §1.2
     // per-task work; same fix class as functions/Shingles).
-    val perDoc = bm25Cache.getOrElseUpdate((s, d)) {
-      docWords(s, d).select(
-        col("doc_id") +: size(col("w")).as("dl") +:
-          terms.map(t => (size(col("w")) - size(array_remove(col("w"), t)))
-            .cast("double").as(s"tf_$t")): _*)
-        .persist()
-    }
+    // The per-doc proxy (doc_id, dl, tf×3 — ~40 bytes/doc) is pinned so
+    // the stats aggregate and the scoring pass read ONE tokenized scan
+    // instead of re-tokenizing the corpus for each side of the crossJoin
+    // (guide §8: decide with small rows — regexp_extract_all runs once,
+    // both consumers read the tiny proxy; PlanPin doc for lifecycle)
+    val perDoc = PlanPin.pinned(docWords(s, d).select(
+      col("doc_id") +: size(col("w")).as("dl") +:
+        terms.map(t => (size(col("w")) - size(array_remove(col("w"), t)))
+          .cast("double").as(s"tf_$t")): _*), "bm25:")
     // n, avgdl, AND every term's doc frequency in one scalar aggregate
     val statCols = count(lit(1)).as("n") +:
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
@@ -152,15 +145,21 @@ object RetrievalQueries {
   def lmQuality(s: SparkSession, d: String): DataFrame = {
     val docs = docWords(s, d).filter(size(col("w")) > 0)
     val terms = docs.select(col("doc_id"), explode(col("w")).as("term"))
-    val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    // ONE tokenize + explode + count pass: tf is pinned and the LM's
+    // per-term corpus counts derive from it (sum of per-doc counts ==
+    // count over tokens, integer-exact), where the earlier plan re-ran
+    // the explode for the vocab aggregate (PlanPin doc)
+    val tf = graft.queries.PlanPin.pinned(
+      terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tfi")), "lmQuality:")
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tfi")).as("c"))
     val stats = vocab.agg(sum(col("c")).as("total"), count(lit(1)).as("v"))
     val lm = vocab.crossJoin(broadcast(stats))
       .select(col("term"),
         log((col("c") + lit(1)).cast("double") /
           (col("total") + col("v")).cast("double")).as("lnp"))
-    val tf = terms.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    tf.join(broadcast(lm), "term")
+    tf.select(col("doc_id"), col("term"), col("tfi").cast("double").as("tf"))
+      .join(broadcast(lm), "term")
       .groupBy(col("doc_id"))
       .agg(
         round(-aggregate(

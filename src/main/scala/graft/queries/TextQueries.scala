@@ -290,8 +290,10 @@ object TextQueries {
       explode(regexp_extract_all(lower(col("text")), lit(wordPat), lit(0)))
         .as("term"))
       .filter(length(col("term")) >= 4)
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // tf feeds BOTH the df aggregate and the probe join — pinned so the
+    // tokenize + explode + count pass runs once (PlanPin doc)
+    val tf = PlanPin.pinned(toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")), "topTerms:")
     val df = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
@@ -385,12 +387,19 @@ object TextQueries {
   private def shingleHits(docs: DataFrame, k: Int,
       hashKeys: Boolean): DataFrame = {
     // posexplode of the native k-gram array: pos is 0-based, the span
-    // algebra below is 1-based (slice() convention), hence the +1
-    val sh = docs.filter(size(col("w")) >= k)
+    // algebra below is 1-based (slice() convention), hence the +1.
+    // The hit set is `sh ⋉ dup(sh)` — TWO consumers of the exploded
+    // shingle stream (the dup aggregate and the join probe), both keyed
+    // on sh: repartition by sh ONCE into a pinned cache and both read it
+    // exchange-free (PlanPin doc; the unpinned plan re-ran the tokenize +
+    // explode pass per consumer). The cached rows are (doc_id, pos,
+    // 8-byte hash) — the positional proxy of guide §8, never the text.
+    val sh = PlanPin.pinned(docs.filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(
         graft.functions.Shingles.word_shingles(col("w"), k)).as(Seq("p", "shs")))
       .select(col("doc_id"), (col("p") + 1).cast("long").as("pos"),
         (if (hashKeys) xxhash64(col("shs")) else col("shs")).as("sh"))
+      .repartition(col("sh")), "shingleHits:")
     val dup = sh.groupBy(col("sh"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") < col("mx")).select("sh")
