@@ -145,21 +145,20 @@ object RetrievalQueries {
   def lmQuality(s: SparkSession, d: String): DataFrame = {
     val docs = docWords(s, d).filter(size(col("w")) > 0)
     val terms = docs.select(col("doc_id"), explode(col("w")).as("term"))
-    // ONE tokenize + explode + count pass: tf is pinned and the LM's
-    // per-term corpus counts derive from it (sum of per-doc counts ==
-    // count over tokens, integer-exact), where the earlier plan re-ran
-    // the explode for the vocab aggregate (PlanPin doc)
-    val tf = graft.queries.PlanPin.pinned(
-      terms.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tfi")), "lmQuality:")
-    val vocab = tf.groupBy(col("term")).agg(sum(col("tfi")).as("c"))
+    // NOT pinned (tried in r6, reverted): the doc-term tf frame is far
+    // larger than the vocab aggregate's map-side partials, so pinning tf
+    // to save the second explode cost MORE than it saved (1.07 → 1.76 s
+    // at sf0.1) — the two explodes each feed partial-agg'd aggregates
+    // whose shuffled rows are vocabulary-sized, which is the cheap shape.
+    val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val stats = vocab.agg(sum(col("c")).as("total"), count(lit(1)).as("v"))
     val lm = vocab.crossJoin(broadcast(stats))
       .select(col("term"),
         log((col("c") + lit(1)).cast("double") /
           (col("total") + col("v")).cast("double")).as("lnp"))
-    tf.select(col("doc_id"), col("term"), col("tfi").cast("double").as("tf"))
-      .join(broadcast(lm), "term")
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    tf.join(broadcast(lm), "term")
       .groupBy(col("doc_id"))
       .agg(
         round(-aggregate(
