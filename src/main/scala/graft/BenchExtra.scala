@@ -73,6 +73,43 @@ object BenchExtra {
           maxHamming = 3, bits = 60, nChunks = 4))
         finally { sig.unpersist(); () }
       }),
+      // --- cep_funnel_stream decomposition: TWS drain vs MERGE sink -----
+      "funnel_noop" -> (() => {
+        import org.apache.spark.sql.functions._
+        val tmp = Files.createTempDirectory("graft-bx-funnel").toString
+        val inDir = s"$tmp/in"
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+          .repartitionByRange(4, col("ts")).write.parquet(inDir)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id bigint, event_id bigint, event_type string, ts timestamp")
+        val steps = Seq("signup", "click", "purchase")
+        val mask = steps.zipWithIndex.map { case (st, j) =>
+          when(col("event_type") === st, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _)
+        graft.snapshot.SnapshotTws.withRocksDb(spark) {
+          graft.queries.StreamQueries.withStreamParallelism(spark, inDir) {
+            import spark.implicits._
+            val events = spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "2").parquet(inDir)
+              .select(col("user_id").cast("string").as("convId"),
+                col("event_id").as("idx"), unix_micros(col("ts")).as("tsUs"),
+                mask.as("mask"), col("ts"))
+              .withWatermark("ts", "1 minute")
+              .as[graft.cep.CepEvent]
+            val q = graft.cep.FunnelTws
+              .updates(events, 3, 3L * 24 * 3600 * 1000000)(spark)
+              .writeStream.outputMode("update")
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.cep.FunnelRow], _: Long) =>
+                df.write.mode("overwrite").format("noop").save()
+              }
+              .start()
+            try q.processAllAvailable() finally q.stop()
+          }
+        }
+        Bench.rmrf(tmp)
+      }),
       // --- snapshot pipeline: fold-only vs fold+MERGE -------------------
       "pipe_fold_noop" -> (() => {
         import spark.implicits._
