@@ -64,6 +64,19 @@ object BenchExtra {
         graft.dedup.Dedup.simhashMd5(docs, "doc_id", "text"))),
       "simhash_full" -> (() => noop(
         graft.dedup.Dedup.simhashCandidatesOracle(docs, "doc_id", "text"))),
+      // stage split: token explode + md5 + nibble decode WITHOUT the
+      // 60-sum vote aggregation (is the aggregate worth a native
+      // TypedImperativeAggregate?)
+      "simhash_chars" -> (() => {
+        import org.apache.spark.sql.functions._
+        val toks = docs.select(col("doc_id"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+            .as("tok"))
+        noop(toks.select(col("doc_id") +: (0 until 15).map { k =>
+          val a = ascii(substring(md5(col("tok").cast("binary")), k + 1, 1))
+          when(a <= 57, a - 48).otherwise(a - 87).as(s"c$k")
+        }: _*))
+      }),
       // A/B probe: does pinning the signature frame (vs relying on
       // exchange reuse across the guarded-pairs branches) cut the full
       // candidate pass?
